@@ -1,0 +1,102 @@
+"""Production ragged-batch padding (host bucketing + static-shape device
+batches).
+
+Same API and semantics as the oracle (di_hpc_tpu.origin.padding, reference
+hpc_rll/rl_utils/padding.py + src/rl_utils/padding.cu), with the oracle
+bucketing DP routed through the native C++ host core when available
+(csrc/bucketing.cpp, built lazily via di_hpc_tpu.utils.native).
+
+Design note: on TPU there are no per-call device pointer tables (the reference
+cudaMallocs and H2D-copies pointer/shape arrays per call,
+src/rl_utils/padding.cu:111-140).  Grouped bucketing bounds the set of padded
+shapes, which on TPU doubles as a bound on the jit compile cache for any
+downstream static-shape consumer — bucketing IS the ragged-shape strategy.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from di_hpc_tpu.origin import padding as _origin
+from di_hpc_tpu.origin.padding import (
+    UnPadding1D,
+    UnPadding2D,
+    UnPadding3D,
+    cum,
+)
+from di_hpc_tpu.utils.native import native_oracle_split_group
+
+__all__ = [
+    "Padding1D", "Padding2D", "Padding3D",
+    "UnPadding1D", "UnPadding2D", "UnPadding3D",
+    "oracle_split_group", "sample_split_group",
+]
+
+
+def oracle_split_group(x: List, group: int):
+    """Exact min-cost bucketing; native C++ DP with Python fallback.
+
+    Input must be sorted ascending by numel (like the reference,
+    origin/padding.py:11-50).
+    """
+    numels = [cum(tuple(t.shape)) for t in x]
+    res = native_oracle_split_group(numels, group)
+    if res is None:
+        return _origin.oracle_split_group(x, group)
+    positions, _cost = res
+    shapes = [tuple(x[i - 1].shape) for i in positions[1:]]
+    return shapes, positions
+
+
+def sample_split_group(x: List, group: int, rng=None):
+    """Random-pivot bucketing (reference src/rl_utils/padding.cu:8-43):
+    sample group-1 pivot shapes + the max shape, dedupe, and split the sorted
+    list at each pivot.  Returns (group_shapes, group_idx)."""
+    rng = np.random.default_rng() if rng is None else rng
+    x_sorted = sorted(x, key=lambda t: cum(tuple(t.shape)))
+    sampled_idx = set(rng.choice(len(x_sorted), group - 1).tolist())
+    group_shape = [tuple(t.shape) for i, t in enumerate(x_sorted) if i in sampled_idx]
+    group_shape += [tuple(x_sorted[-1].shape)]
+    group_shape = sorted(set(group_shape), key=cum)
+    group_shape_idx = 0
+    group_idx = [0]
+    for i, t in enumerate(x_sorted):
+        if cum(tuple(t.shape)) > cum(group_shape[group_shape_idx]):
+            group_idx.append(i)
+            group_shape_idx += 1
+    group_idx.append(len(x_sorted))
+    return group_shape, group_idx
+
+
+def _padding_nd(x, ndim, mode="constant", value=0, group=1,
+                group_mode="sample", rng=None):
+    assert mode == "constant", mode
+    assert group_mode in ("sample", "oracle"), group_mode
+    assert group >= 1, group
+    if group <= 1:
+        return _origin._pad_nd(x, value, ndim)
+    x = sorted(x, key=lambda t: cum(tuple(t.shape)))
+    if group_mode == "oracle":
+        group_shape, group_idx = oracle_split_group(x, group)
+    else:
+        group_shape, group_idx = sample_split_group(x, group, rng=rng)
+    assert len(group_idx) == len(group_shape) + 1
+    ret = [
+        _origin._pad_nd(x[group_idx[i]:group_idx[i + 1]], value, ndim)
+        for i in range(len(group_shape))
+    ]
+    return list(zip(*ret))
+
+
+def Padding1D(x, mode="constant", value=0, group=1, group_mode="sample", rng=None):
+    return _padding_nd(x, 1, mode, value, group, group_mode, rng)
+
+
+def Padding2D(x, mode="constant", value=0, group=1, group_mode="sample", rng=None):
+    return _padding_nd(x, 2, mode, value, group, group_mode, rng)
+
+
+def Padding3D(x, mode="constant", value=0, group=1, group_mode="sample", rng=None):
+    return _padding_nd(x, 3, mode, value, group, group_mode, rng)

@@ -1,0 +1,220 @@
+"""Fused TD-family ops (TPU-native).
+
+The scan-bound op (td_lambda) uses the associative-scan core; the batch-bound
+ops (q_nstep, rescale, C51, QR-DQN, IQN) share their math with the oracles —
+on TPU a single jit already fuses the gather + n-step reduction + loss + grad
+into a couple of kernels, which is exactly what the reference needed
+hand-written CUDA for (src/rl_utils/q_nstep_td.cu etc.).  What the fused layer
+adds over origin:
+
+ - lambda-returns via log-depth scan instead of sequential T loop,
+ - deterministic segment-sum C51 projection (vs atomicAdd),
+ - shape-static wrapper classes mirroring the reference module API
+   (hpc_rll/rl_utils/td.py).
+
+All target computations sit under stop_gradient exactly where the reference
+detaches (origin/td.py:171,290,339; kernel grad stashes only flow to q/dist).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from di_hpc_tpu.origin import td as _origin_td
+from di_hpc_tpu.origin.td import (
+    dist_nstep_td_data,
+    iqn_nstep_td_data,
+    nstep_return,
+    nstep_return_data,
+    q_nstep_td_data,
+    qrdqn_nstep_td_data,
+    td_lambda_data,
+    value_inv_transform,
+    value_transform,
+)
+from di_hpc_tpu.ops.scan import Method, linear_recurrence_reverse
+
+__all__ = [
+    "td_lambda_error", "generalized_lambda_returns", "multistep_forward_view",
+    "q_nstep_td_error", "q_nstep_td_error_with_rescale", "dist_nstep_td_error",
+    "qrdqn_nstep_td_error", "iqn_nstep_td_error",
+    "TDLambda", "QNStepTD", "QNStepTDRescale", "DistNStepTD",
+    "QRDQNNStepTDError", "IQNNStepTDError",
+    # data tuples re-exported for API parity
+    "td_lambda_data", "q_nstep_td_data", "dist_nstep_td_data",
+    "qrdqn_nstep_td_data", "iqn_nstep_td_data",
+]
+
+
+# ---------------------------------------------------------------------------
+# lambda-returns on the scan core
+# ---------------------------------------------------------------------------
+
+def multistep_forward_view(bootstrap_values, rewards, gammas, lambda_,
+                           method: Method = "auto"):
+    """Scan-core version of origin.multistep_forward_view: the recurrence
+        result[t] = [r_t + (g_t - d_t) V_{t+1}] + d_t * result[t+1]
+    with the T-1 element forced to r + g*V (lambda cut off at the horizon)."""
+    rewards = jnp.asarray(rewards)
+    gammas = jnp.broadcast_to(jnp.asarray(gammas, rewards.dtype), rewards.shape)
+    lambda_ = jnp.broadcast_to(jnp.asarray(lambda_, rewards.dtype), rewards.shape)
+    d = gammas * lambda_
+    # Zero the last discount so a[T-1] = r + g*V[T] terminates the recurrence.
+    d = d.at[-1].set(0.0)
+    a = rewards + (gammas - d) * bootstrap_values
+    return linear_recurrence_reverse(a, d, method=method)
+
+
+def generalized_lambda_returns(bootstrap_values, rewards, gammas, lambda_,
+                               method: Method = "auto"):
+    return multistep_forward_view(bootstrap_values[1:], rewards, gammas, lambda_,
+                                  method=method)
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "lambda_", "method"))
+def td_lambda_error(data: td_lambda_data, gamma: float = 0.9,
+                    lambda_: float = 0.8, method: Method = "auto") -> jax.Array:
+    """Fused TD(lambda) loss.  Weight follows origin semantics: (B,) or (T, B)
+    broadcast over time (the reference kernel/wrapper disagree on this —
+    rl_utils/td.py:160 vs td_lambda_kernel.h:24; we standardize on origin,
+    origin/td.py:169-175)."""
+    value, reward, weight = data
+    if weight is None:
+        weight = jnp.ones_like(reward)
+    return_ = jax.lax.stop_gradient(
+        generalized_lambda_returns(value, reward, gamma, lambda_, method=method)
+    )
+    return 0.5 * jnp.mean((return_ - value[:-1]) ** 2 * weight)
+
+
+# ---------------------------------------------------------------------------
+# batch-bound TD ops: jit-fused oracle math
+# ---------------------------------------------------------------------------
+
+q_nstep_td_error = jax.jit(
+    _origin_td.q_nstep_td_error, static_argnames=("gamma", "nstep")
+)
+q_nstep_td_error_with_rescale = jax.jit(
+    _origin_td.q_nstep_td_error_with_rescale,
+    static_argnames=("gamma", "nstep", "trans_fn", "inv_trans_fn"),
+)
+dist_nstep_td_error = jax.jit(
+    _origin_td.dist_nstep_td_error,
+    static_argnames=("gamma", "v_min", "v_max", "n_atom", "nstep"),
+)
+qrdqn_nstep_td_error = jax.jit(
+    _origin_td.qrdqn_nstep_td_error, static_argnames=("gamma", "nstep")
+)
+iqn_nstep_td_error = jax.jit(
+    _origin_td.iqn_nstep_td_error, static_argnames=("gamma", "nstep", "kappa")
+)
+
+
+# ---------------------------------------------------------------------------
+# shape-static wrappers (reference module API, hpc_rll/rl_utils/td.py)
+# ---------------------------------------------------------------------------
+
+class TDLambda:
+    def __init__(self, T: int, B: int):
+        self.T, self.B = T, B
+
+    def __call__(self, value, reward, weight=None,
+                 gamma: float = 0.9, lambda_: float = 0.8):
+        assert value.shape == (self.T + 1, self.B)
+        assert reward.shape == (self.T, self.B)
+        return td_lambda_error(td_lambda_data(value, reward, weight), gamma, lambda_)
+
+    forward = __call__
+
+
+class QNStepTD:
+    def __init__(self, T: int, B: int, N: int):
+        self.T, self.B, self.N = T, B, N
+
+    def __call__(self, q, next_n_q, action, next_n_action, reward, done,
+                 weight=None, gamma: float = 0.99):
+        assert q.shape == (self.B, self.N)
+        return q_nstep_td_error(
+            q_nstep_td_data(q, next_n_q, action, next_n_action, reward, done, weight),
+            gamma, self.T,
+        )
+
+    forward = __call__
+
+
+class QNStepTDRescale:
+    def __init__(self, T: int, B: int, N: int):
+        self.T, self.B, self.N = T, B, N
+
+    def __call__(self, q, next_n_q, action, next_n_action, reward, done,
+                 weight=None, gamma: float = 0.99):
+        assert q.shape == (self.B, self.N)
+        return q_nstep_td_error_with_rescale(
+            q_nstep_td_data(q, next_n_q, action, next_n_action, reward, done, weight),
+            gamma, self.T,
+        )
+
+    forward = __call__
+
+
+class DistNStepTD:
+    def __init__(self, T: int, B: int, N: int, n_atom: int):
+        self.T, self.B, self.N, self.n_atom = T, B, N, n_atom
+
+    def __call__(self, dist, next_n_dist, action, next_n_action, reward, done,
+                 weight=None, gamma: float = 0.99,
+                 v_min: float = -10.0, v_max: float = 10.0):
+        assert dist.shape == (self.B, self.N, self.n_atom)
+        return dist_nstep_td_error(
+            dist_nstep_td_data(dist, next_n_dist, action, next_n_action,
+                               reward, done, weight),
+            gamma, v_min, v_max, self.n_atom, self.T,
+        )
+
+    forward = __call__
+
+
+class QRDQNNStepTDError:
+    def __init__(self, tau: int, T: int, B: int, N: int):
+        self.tau, self.T, self.B, self.N = tau, T, B, N
+
+    def __call__(self, q, next_n_q, action, next_n_action, reward, done,
+                 tau=None, weight=None, value_gamma=None, gamma: float = 0.99):
+        assert q.shape == (self.B, self.N, self.tau)
+        if tau is None:
+            tau = self.tau
+        if value_gamma is None:
+            # Reference wrapper default: per-batch gamma^T (rl_utils/td.py:582-584).
+            value_gamma = jnp.full((self.B,), gamma ** self.T, q.dtype)
+        return qrdqn_nstep_td_error(
+            qrdqn_nstep_td_data(q, next_n_q, action, next_n_action, reward,
+                                done, tau, weight),
+            gamma, self.T, value_gamma,
+        )
+
+    forward = __call__
+
+
+class IQNNStepTDError:
+    def __init__(self, tau: int, tau_prime: int, T: int, B: int, N: int):
+        self.tau, self.tau_prime = tau, tau_prime
+        self.T, self.B, self.N = T, B, N
+
+    def __call__(self, q, next_n_q, action, next_n_action, reward, done,
+                 replay_quantiles, weight=None, value_gamma=None,
+                 gamma: float = 0.99, kappa: float = 1.0):
+        assert q.shape == (self.tau, self.B, self.N)
+        assert next_n_q.shape == (self.tau_prime, self.B, self.N)
+        if value_gamma is None:
+            value_gamma = jnp.full((self.B,), gamma ** self.T, q.dtype)
+        return iqn_nstep_td_error(
+            iqn_nstep_td_data(q, next_n_q, action, next_n_action, reward,
+                              done, replay_quantiles, weight),
+            gamma, self.T, kappa, value_gamma,
+        )
+
+    forward = __call__

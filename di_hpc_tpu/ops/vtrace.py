@@ -1,0 +1,86 @@
+"""Fused V-trace (TPU-native).
+
+The reference spends five CUDA kernels on this op
+(src/rl_utils/vtrace.cu:8-130); here a single jit fuses the categorical
+log-prob/entropy heads, importance weights, the return recurrence (log-depth
+scan via the scan core instead of the per-lane reverse loop in
+vtrace_kernel.h:161-180), the advantage, and the three weighted-mean losses.
+Stop-gradient boundaries replicate origin/vtrace.py:64-71: gradients reach the
+target logits (policy-gradient + entropy) and the value (MSE) only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from di_hpc_tpu.origin.ppo import categorical_entropy, categorical_log_prob
+from di_hpc_tpu.origin.vtrace import vtrace_data, vtrace_loss
+from di_hpc_tpu.ops.scan import Method, linear_recurrence_reverse
+
+__all__ = ["vtrace_error", "vtrace_data", "vtrace_loss", "VTrace"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gamma", "lambda_", "rho_clip_ratio", "c_clip_ratio",
+                     "rho_pg_clip_ratio", "method"),
+)
+def vtrace_error(
+    data: vtrace_data,
+    gamma: float = 0.99,
+    lambda_: float = 0.95,
+    rho_clip_ratio: float = 1.0,
+    c_clip_ratio: float = 1.0,
+    rho_pg_clip_ratio: float = 1.0,
+    method: Method = "auto",
+) -> vtrace_loss:
+    target_output, behaviour_output, action, value, reward, weight = data
+
+    logp_target = categorical_log_prob(target_output, action)     # (T, B), grad path
+    logp_behaviour = jax.lax.stop_gradient(
+        categorical_log_prob(behaviour_output, action)
+    )
+    IS = jax.lax.stop_gradient(jnp.exp(logp_target - logp_behaviour))
+
+    rhos = jnp.minimum(IS, rho_clip_ratio)
+    cs = jnp.minimum(IS, c_clip_ratio)
+    pg_rhos = jnp.minimum(IS, rho_pg_clip_ratio)
+
+    v = jax.lax.stop_gradient(value)
+    deltas = rhos * (reward + gamma * v[1:] - v[:-1])
+    items = linear_recurrence_reverse(deltas, gamma * lambda_ * cs, method=method)
+    return_ = v[:-1] + items                                      # vs_t, (T, B)
+    return_tp1 = jnp.concatenate([return_[1:], v[-1:]], axis=0)
+    adv = pg_rhos * (reward + gamma * return_tp1 - v[:-1])
+
+    if weight is None:
+        weight = jnp.ones_like(reward)
+
+    pg_loss = -jnp.mean(logp_target * adv * weight)
+    value_loss = jnp.mean((value[:-1] - return_) ** 2 * weight)
+    entropy_loss = jnp.mean(categorical_entropy(target_output) * weight)
+    return vtrace_loss(pg_loss, value_loss, entropy_loss)
+
+
+class VTrace:
+    """Shape-static wrapper mirroring hpc_rll/rl_utils/vtrace.py:45-133."""
+
+    def __init__(self, T: int, B: int, N: int):
+        self.T, self.B, self.N = T, B, N
+
+    def __call__(self, target_output, behaviour_output, action, value, reward,
+                 weight=None, gamma: float = 0.99, lambda_: float = 0.95,
+                 rho_clip_ratio: float = 1.0, c_clip_ratio: float = 1.0,
+                 rho_pg_clip_ratio: float = 1.0) -> vtrace_loss:
+        assert target_output.shape == (self.T, self.B, self.N)
+        assert value.shape == (self.T + 1, self.B)
+        return vtrace_error(
+            vtrace_data(target_output, behaviour_output, action, value, reward, weight),
+            gamma, lambda_, rho_clip_ratio, c_clip_ratio, rho_pg_clip_ratio,
+        )
+
+    forward = __call__

@@ -1,0 +1,79 @@
+"""Lazy build/load of the native C++ host core (csrc/) via g++ + ctypes.
+
+The reference ships its host control-plane code (bucketing DP, marshalling) as
+compiled C++ inside CUDA extensions (src/rl_utils/padding.cu:8-108).  Here the
+equivalent host core is a small C++ shared library compiled on first use and
+loaded through ctypes; every entry point has a pure-Python fallback so the
+framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+import threading
+from pathlib import Path
+from typing import Optional
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+_CSRC = _REPO_ROOT / "csrc"
+_BUILD_DIR = _REPO_ROOT / "build"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    src = _CSRC / "bucketing.cpp"
+    if not src.exists():
+        return None
+    _BUILD_DIR.mkdir(exist_ok=True)
+    so = _BUILD_DIR / "libdihpc_host.so"
+    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+               str(src), "-o", str(so)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    lib.oracle_split_group.restype = ctypes.c_int64
+    lib.oracle_split_group.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    return lib
+
+
+def get_native_lib() -> Optional[ctypes.CDLL]:
+    """Returns the loaded host library, building it on first call; None if the
+    toolchain is unavailable (callers fall back to Python)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if not _tried:
+            _lib = _build_and_load()
+            _tried = True
+    return _lib
+
+
+def native_oracle_split_group(numels, group: int):
+    """C++ oracle bucketing DP; returns (positions list of len group+1, cost)
+    or None if native lib is unavailable."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    n = len(numels)
+    arr = (ctypes.c_int64 * n)(*numels)
+    out = (ctypes.c_int64 * (group + 1))()
+    cost = lib.oracle_split_group(arr, n, group, out)
+    if cost < 0:
+        return None
+    return list(out), int(cost)
