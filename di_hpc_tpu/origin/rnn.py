@@ -61,9 +61,14 @@ def init_lstm_params(
     )
     bias = jax.random.uniform(keys[-1], (num_layers, 4 * hidden_size), dtype, -gain, gain)
     if norm_type == "LN":
-        ones = jnp.ones((num_layers, 4 * hidden_size), dtype)
-        zeros = jnp.zeros((num_layers, 4 * hidden_size), dtype)
-        return LSTMParams(wx, wh, bias, ones, zeros, ones, zeros)
+        # Distinct buffers per field (aliased leaves break argument donation).
+        def ones():
+            return jnp.ones((num_layers, 4 * hidden_size), dtype)
+
+        def zeros():
+            return jnp.zeros((num_layers, 4 * hidden_size), dtype)
+
+        return LSTMParams(wx, wh, bias, ones(), zeros(), ones(), zeros())
     return LSTMParams(wx, wh, bias, None, None, None, None)
 
 

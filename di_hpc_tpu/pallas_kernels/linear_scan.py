@@ -30,6 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 _DEF_BLK = 256
 _VMEM_BUDGET = 10 * 1024 * 1024
 
+# Test hook: run kernels through the Pallas interpreter (set before first
+# call; the jit cache is keyed per-process).
+INTERPRET = False
+
 
 def _pick_blk(T: int, B: int) -> int:
     blk = _DEF_BLK
@@ -82,6 +86,7 @@ def _linear_scan_pallas(a: jax.Array, b: jax.Array, reverse: bool) -> jax.Array:
             bytes_accessed=3 * T * B * 4,
             transcendentals=0,
         ),
+        interpret=INTERPRET,
     )(a, b)
 
 

@@ -1,0 +1,103 @@
+"""PPO: fused vs hand-rolled numpy (reference config B=128, N=128,
+tests/test_ppo.py:11-15)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from di_hpc_tpu import ops
+
+
+def _np_log_softmax(x):
+    x = x - x.max(-1, keepdims=True)
+    return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+
+def _np_ppo(ln, lo, act, vn, vo, adv, ret, w, clip, use_vclip, dual):
+    B = ln.shape[0]
+    lp_n = _np_log_softmax(ln)[np.arange(B), act]
+    lp_o = _np_log_softmax(lo)[np.arange(B), act]
+    p = np.exp(_np_log_softmax(ln))
+    ent = -(p * _np_log_softmax(ln)).sum(-1)
+    ratio = np.exp(lp_n - lp_o)
+    s1 = ratio * adv
+    s2 = np.clip(ratio, 1 - clip, 1 + clip) * adv
+    if dual is not None:
+        pol = (-np.maximum(np.minimum(s1, s2), dual * adv) * w).mean()
+    else:
+        pol = (-np.minimum(s1, s2) * w).mean()
+    kl = (lp_o - lp_n).mean()
+    cf = ((ratio > 1 + clip) | (ratio < 1 - clip)).mean()
+    if use_vclip:
+        vc = vo + np.clip(vn - vo, -clip, clip)
+        vl = 0.5 * (np.maximum((ret - vn) ** 2, (ret - vc) ** 2) * w).mean()
+    else:
+        vl = 0.5 * ((ret - vn) ** 2 * w).mean()
+    el = (ent * w).mean()
+    return (pol, vl, el), (kl, cf)
+
+
+@pytest.mark.parametrize("use_vclip", [True, False])
+@pytest.mark.parametrize("dual", [None, 5.0])
+def test_ppo_matches_numpy(use_vclip, dual, key):
+    B, N, clip = 32, 12, 0.2
+    ks = jax.random.split(key, 8)
+    ln = jax.random.normal(ks[0], (B, N)); lo = jax.random.normal(ks[1], (B, N))
+    act = jax.random.randint(ks[2], (B,), 0, N)
+    vn = jax.random.normal(ks[3], (B,)); vo = jax.random.normal(ks[4], (B,))
+    adv = jax.random.normal(ks[5], (B,)); ret = jax.random.normal(ks[6], (B,))
+    w = jax.random.uniform(ks[7], (B,), minval=0.5, maxval=1.5)
+
+    (pol, vl, el), (kl, cf) = ops.ppo_error(
+        ops.ppo_data(ln, lo, act, vn, vo, adv, ret, w), clip, use_vclip, dual)
+    want_losses, want_info = _np_ppo(
+        *(np.asarray(x) for x in (ln, lo, act, vn, vo, adv, ret, w)),
+        clip, use_vclip, dual)
+    np.testing.assert_allclose(
+        [float(pol), float(vl), float(el)], want_losses, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose([float(kl), float(cf)], want_info, rtol=1e-4, atol=1e-5)
+
+
+def test_ppo_grads_flow_and_monitors_do_not(key):
+    B, N = 16, 6
+    ks = jax.random.split(key, 7)
+    ln = jax.random.normal(ks[0], (B, N)); lo = jax.random.normal(ks[1], (B, N))
+    act = jax.random.randint(ks[2], (B,), 0, N)
+    vn = jax.random.normal(ks[3], (B,)); vo = jax.random.normal(ks[4], (B,))
+    adv = jax.random.normal(ks[5], (B,)); ret = jax.random.normal(ks[6], (B,))
+
+    def total(ln_, vn_):
+        (pol, vl, el), _ = ops.ppo_error(
+            ops.ppo_data(ln_, lo, act, vn_, vo, adv, ret, None), 0.2, True, None)
+        return pol + 0.5 * vl - 0.01 * el
+
+    g_ln, g_vn = jax.grad(total, argnums=(0, 1))(ln, vn)
+    assert float(jnp.abs(g_ln).max()) > 0
+    assert float(jnp.abs(g_vn).max()) > 0
+    # finite-difference check on the policy logits
+    eps = 1e-3
+    d = jax.random.normal(ks[0], (B, N))
+    fd = (total(ln + eps * d, vn) - total(ln - eps * d, vn)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g_ln, d)), float(fd), rtol=5e-2, atol=1e-4)
+
+
+def test_ppo_dual_clip_validation(key):
+    B, N = 4, 3
+    ks = jax.random.split(key, 7)
+    args = [jax.random.normal(ks[i], (B, N)) for i in range(2)]
+    act = jnp.zeros((B,), jnp.int32)
+    vec = [jax.random.normal(ks[i + 3], (B,)) for i in range(4)]
+    with pytest.raises(AssertionError):
+        ops.ppo_error(ops.ppo_data(args[0], args[1], act, *vec, None),
+                      0.2, True, 0.5)
+
+
+def test_ppo_wrapper(key):
+    B, N = 8, 5
+    ks = jax.random.split(key, 7)
+    ln = jax.random.normal(ks[0], (B, N)); lo = jax.random.normal(ks[1], (B, N))
+    act = jax.random.randint(ks[2], (B,), 0, N)
+    vec = [jax.random.normal(ks[i + 3], (B,)) for i in range(4)]
+    losses, info = ops.PPO(B, N)(ln, lo, act, *vec)
+    assert len(losses) == 3 and len(info) == 2
