@@ -34,8 +34,17 @@ __all__ = ["gae", "gae_data", "GAE"]
 def gae(data: gae_data, gamma: float = 0.99, lambda_: float = 0.97,
         method: Method = "auto") -> jax.Array:
     """value (T+1, B), reward (T, B) -> advantage (T, B)."""
+    from di_hpc_tpu.ops._backend import fused_kernels_ok
+
     value, reward = data
     T = reward.shape[0]
+
+    if fused_kernels_ok(value, reward, method=method):
+        from di_hpc_tpu.pallas_kernels.rl_scans import gae_fused_pallas
+
+        return jax.lax.stop_gradient(
+            gae_fused_pallas(value, reward, gamma, lambda_))
+
     delta = reward + gamma * value[1:] - value[:-1]
     denom = gae_denominators(T, lambda_, dtype=delta.dtype)   # (T,)
     denom_b = denom.reshape((T,) + (1,) * (delta.ndim - 1))

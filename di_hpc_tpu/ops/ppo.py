@@ -2,25 +2,71 @@
 
 The reference hand-fuses categorical log-prob/entropy + surrogate clipping +
 value clip + monitor stats + grad stashes into two CUDA kernels
-(include/hpc/rll/cuda/rl_utils/ppo_kernel.h:12-242).  On TPU the whole loss is
-elementwise + row-softmax: a single jit compiles it to a couple of fused VPU
-kernels, and JAX autodiff reproduces the hand-derived backward (including the
-dual-clip subgradient choices, which follow from min/max subgradients).
+(include/hpc/rll/cuda/rl_utils/ppo_kernel.h:12-242).  The TPU version uses
+the single-pass Pallas categorical head (di_hpc_tpu.pallas_kernels.
+categorical — one HBM read of the new logits yields log-prob, entropy, and a
+recompute backward) plus XLA fusion for the purely elementwise surrogate /
+value-clip arithmetic; JAX autodiff reproduces the hand-derived backward,
+including the dual-clip subgradient choices.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
-from di_hpc_tpu.origin.ppo import ppo_data, ppo_error as _ppo_error, ppo_info, ppo_loss
+from di_hpc_tpu.origin.ppo import ppo_data, ppo_info, ppo_loss
 
 __all__ = ["ppo_error", "ppo_data", "ppo_loss", "ppo_info", "PPO"]
 
-ppo_error = jax.jit(
-    _ppo_error, static_argnames=("clip_ratio", "use_value_clip", "dual_clip")
-)
+
+@functools.partial(
+    jax.jit, static_argnames=("clip_ratio", "use_value_clip", "dual_clip"))
+def ppo_error(
+    data: ppo_data,
+    clip_ratio: float = 0.2,
+    use_value_clip: bool = True,
+    dual_clip: Optional[float] = None,
+):
+    from di_hpc_tpu.ops.categorical import logp, logp_entropy
+
+    assert dual_clip is None or dual_clip > 1.0, (
+        f"dual_clip value must be greater than 1.0, but get value: {dual_clip}"
+    )
+    logit_new, logit_old, action, value_new, value_old, adv, return_, weight = data
+    if weight is None:
+        weight = jnp.ones_like(adv)
+
+    logp_new, entropy = logp_entropy(logit_new, action)
+    logp_old = jax.lax.stop_gradient(logp(logit_old, action))
+    entropy_loss = jnp.mean(entropy * weight)
+
+    ratio = jnp.exp(logp_new - logp_old)
+    surr1 = ratio * adv
+    surr2 = jnp.clip(ratio, 1 - clip_ratio, 1 + clip_ratio) * adv
+    if dual_clip is not None:
+        policy_loss = jnp.mean(
+            -jnp.maximum(jnp.minimum(surr1, surr2), dual_clip * adv) * weight)
+    else:
+        policy_loss = jnp.mean(-jnp.minimum(surr1, surr2) * weight)
+
+    approx_kl = jax.lax.stop_gradient(jnp.mean(logp_old - logp_new))
+    clipped = (ratio > 1 + clip_ratio) | (ratio < 1 - clip_ratio)
+    clipfrac = jax.lax.stop_gradient(jnp.mean(clipped.astype(adv.dtype)))
+
+    if use_value_clip:
+        value_clip = value_old + jnp.clip(value_new - value_old,
+                                          -clip_ratio, clip_ratio)
+        v1 = (return_ - value_new) ** 2
+        v2 = (return_ - value_clip) ** 2
+        value_loss = 0.5 * jnp.mean(jnp.maximum(v1, v2) * weight)
+    else:
+        value_loss = 0.5 * jnp.mean((return_ - value_new) ** 2 * weight)
+
+    return ppo_loss(policy_loss, value_loss, entropy_loss), ppo_info(approx_kl, clipfrac)
 
 
 class PPO:

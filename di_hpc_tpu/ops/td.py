@@ -82,12 +82,21 @@ def td_lambda_error(data: td_lambda_data, gamma: float = 0.9,
     broadcast over time (the reference kernel/wrapper disagree on this —
     rl_utils/td.py:160 vs td_lambda_kernel.h:24; we standardize on origin,
     origin/td.py:169-175)."""
+    from di_hpc_tpu.ops._backend import fused_kernels_ok
+
     value, reward, weight = data
     if weight is None:
         weight = jnp.ones_like(reward)
-    return_ = jax.lax.stop_gradient(
-        generalized_lambda_returns(value, reward, gamma, lambda_, method=method)
-    )
+
+    if fused_kernels_ok(value, reward, method=method):
+        from di_hpc_tpu.pallas_kernels.rl_scans import lambda_returns_pallas
+
+        return_ = jax.lax.stop_gradient(
+            lambda_returns_pallas(value, reward, gamma, lambda_))
+    else:
+        return_ = jax.lax.stop_gradient(
+            generalized_lambda_returns(value, reward, gamma, lambda_,
+                                       method=method))
     return 0.5 * jnp.mean((return_ - value[:-1]) ** 2 * weight)
 
 

@@ -15,7 +15,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from di_hpc_tpu.origin.ppo import categorical_log_prob
 from di_hpc_tpu.ops.scan import Method
 from di_hpc_tpu.ops.td import generalized_lambda_returns
 
@@ -41,10 +40,12 @@ def upgo_loss(
     bootstrap_values: jax.Array,  # (T+1, B)
     method: Method = "auto",
 ) -> jax.Array:
+    from di_hpc_tpu.ops.categorical import logp
+
     v = jax.lax.stop_gradient(bootstrap_values)
     returns = upgo_returns(jax.lax.stop_gradient(rewards), v, method=method)
     advantages = jax.lax.stop_gradient(rhos) * (returns - v[:-1])
-    metric = categorical_log_prob(target_output, action)
+    metric = logp(target_output, action)
     return -jnp.mean(advantages * metric)
 
 

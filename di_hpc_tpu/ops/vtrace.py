@@ -17,7 +17,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from di_hpc_tpu.origin.ppo import categorical_entropy, categorical_log_prob
 from di_hpc_tpu.origin.vtrace import vtrace_data, vtrace_loss
 from di_hpc_tpu.ops.scan import Method, linear_recurrence_reverse
 
@@ -38,12 +37,15 @@ def vtrace_error(
     rho_pg_clip_ratio: float = 1.0,
     method: Method = "auto",
 ) -> vtrace_loss:
+    from di_hpc_tpu.ops._backend import fused_kernels_ok
+    from di_hpc_tpu.ops.categorical import logp, logp_entropy
+
     target_output, behaviour_output, action, value, reward, weight = data
 
-    logp_target = categorical_log_prob(target_output, action)     # (T, B), grad path
-    logp_behaviour = jax.lax.stop_gradient(
-        categorical_log_prob(behaviour_output, action)
-    )
+    # Fused head: one pass over the target logits yields both the log-prob
+    # (grad path) and the entropy.
+    logp_target, entropy = logp_entropy(target_output, action)    # (T, B)
+    logp_behaviour = jax.lax.stop_gradient(logp(behaviour_output, action))
     IS = jax.lax.stop_gradient(jnp.exp(logp_target - logp_behaviour))
 
     rhos = jnp.minimum(IS, rho_clip_ratio)
@@ -51,18 +53,25 @@ def vtrace_error(
     pg_rhos = jnp.minimum(IS, rho_pg_clip_ratio)
 
     v = jax.lax.stop_gradient(value)
-    deltas = rhos * (reward + gamma * v[1:] - v[:-1])
-    items = linear_recurrence_reverse(deltas, gamma * lambda_ * cs, method=method)
-    return_ = v[:-1] + items                                      # vs_t, (T, B)
-    return_tp1 = jnp.concatenate([return_[1:], v[-1:]], axis=0)
-    adv = pg_rhos * (reward + gamma * return_tp1 - v[:-1])
+    if fused_kernels_ok(v, reward, rhos, method=method):
+        from di_hpc_tpu.pallas_kernels.rl_scans import vtrace_returns_adv_pallas
+
+        return_, adv = vtrace_returns_adv_pallas(
+            rhos, cs, pg_rhos, reward, v, gamma, lambda_)
+    else:
+        deltas = rhos * (reward + gamma * v[1:] - v[:-1])
+        items = linear_recurrence_reverse(deltas, gamma * lambda_ * cs,
+                                          method=method)
+        return_ = v[:-1] + items                                  # vs_t, (T, B)
+        return_tp1 = jnp.concatenate([return_[1:], v[-1:]], axis=0)
+        adv = pg_rhos * (reward + gamma * return_tp1 - v[:-1])
 
     if weight is None:
         weight = jnp.ones_like(reward)
 
     pg_loss = -jnp.mean(logp_target * adv * weight)
     value_loss = jnp.mean((value[:-1] - return_) ** 2 * weight)
-    entropy_loss = jnp.mean(categorical_entropy(target_output) * weight)
+    entropy_loss = jnp.mean(entropy * weight)
     return vtrace_loss(pg_loss, value_loss, entropy_loss)
 
 

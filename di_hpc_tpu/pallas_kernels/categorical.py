@@ -1,0 +1,160 @@
+"""Fused categorical head: log-prob of the taken action + entropy in ONE pass
+over the logits.
+
+This is the TPU analogue of the reference's fused categorical kernels
+(ppo_kernel.h:12-150, vtrace_kernel.h:11-151): those fuse log-softmax, the
+action gather, entropy, and THREE backward stash arrays into one block-reduce
+kernel.  On TPU we instead read the logits once in VMEM (XLA's lowering of
+log_softmax + entropy + gather takes multiple HBM passes over the logits) and
+RECOMPUTE the softmax in the backward kernel — on TPU, recompute from one
+read beats writing (rows, N) stash arrays (HBM write bandwidth is the
+bottleneck, not FLOPs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from di_hpc_tpu.pallas_kernels import linear_scan as _ls
+
+_MAX_N = 8192
+
+
+def _pick_blk_rows(N: int, n_bufs: int) -> int:
+    blk = 1024
+    while blk > 8 and n_bufs * blk * N * 4 > 8 * 1024 * 1024:
+        blk //= 2
+    return blk
+
+
+def _fwd_kernel(x_ref, a_ref, logp_ref, ent_ref):
+    x = x_ref[:]                                   # (blk, N)
+    a = a_ref[:]                                   # (blk, 1)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp(x - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    lse = m + jnp.log(s)
+    p = e / s
+    ent = -jnp.sum(p * (x - lse), axis=-1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    xa = jnp.sum(jnp.where(col == a, x, 0.0), axis=-1, keepdims=True)
+    logp_ref[:] = xa - lse
+    ent_ref[:] = ent
+
+
+def _bwd_kernel(x_ref, a_ref, glp_ref, gent_ref, dx_ref):
+    x = x_ref[:]
+    a = a_ref[:]
+    glp = glp_ref[:]                               # (blk, 1)
+    gent = gent_ref[:]                             # (blk, 1)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp(x - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    lse = m + jnp.log(s)
+    p = e / s
+    logp = x - lse
+    ent = -jnp.sum(p * logp, axis=-1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    onehot = (col == a).astype(x.dtype)
+    # d(logp_a)/dx = onehot - p;  dH/dx_j = -p_j * (logp_j + H)
+    dx_ref[:] = glp * (onehot - p) - gent * p * (logp + ent)
+
+
+def _call_fwd(logits2d, actions2d):
+    R, N = logits2d.shape
+    blk = _pick_blk_rows(N, 3)
+    row = lambda i: (i, 0)
+    return pl.pallas_call(
+        _fwd_kernel,
+        out_shape=(jax.ShapeDtypeStruct((R, 1), logits2d.dtype),
+                   jax.ShapeDtypeStruct((R, 1), logits2d.dtype)),
+        grid=(pl.cdiv(R, blk),),
+        in_specs=[
+            pl.BlockSpec((blk, N), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * R * N, bytes_accessed=(R * N + 3 * R) * 4,
+            transcendentals=2 * R * N),
+        interpret=_ls.INTERPRET,
+    )(logits2d, actions2d)
+
+
+def _call_bwd(logits2d, actions2d, glp, gent):
+    R, N = logits2d.shape
+    blk = _pick_blk_rows(N, 4)
+    row = lambda i: (i, 0)
+    return pl.pallas_call(
+        _bwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((R, N), logits2d.dtype),
+        grid=(pl.cdiv(R, blk),),
+        in_specs=[
+            pl.BlockSpec((blk, N), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk, N), row, memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * R * N, bytes_accessed=2 * R * N * 4,
+            transcendentals=2 * R * N),
+        interpret=_ls.INTERPRET,
+    )(logits2d, actions2d, glp, gent)
+
+
+@jax.custom_vjp
+def logp_entropy_pallas(logits: jax.Array, actions: jax.Array):
+    """(..., N) logits + (...) int actions -> (logp_action, entropy), each
+    shaped (...).  Differentiable w.r.t. logits (custom VJP, recompute)."""
+    out, _ = _fwd_impl(logits, actions)
+    return out
+
+
+def _fwd_impl(logits, actions):
+    batch_shape = logits.shape[:-1]
+    N = logits.shape[-1]
+    R = 1
+    for d in batch_shape:
+        R *= d
+    x2 = logits.reshape(R, N)
+    a2 = actions.reshape(R, 1).astype(jnp.int32)
+    lp, ent = _call_fwd(x2, a2)
+    return (lp.reshape(batch_shape), ent.reshape(batch_shape)), (logits, actions)
+
+
+def _vjp_bwd(res, g):
+    logits, actions = res
+    glp, gent = g
+    batch_shape = logits.shape[:-1]
+    N = logits.shape[-1]
+    R = 1
+    for d in batch_shape:
+        R *= d
+    dx = _call_bwd(
+        logits.reshape(R, N),
+        actions.reshape(R, 1).astype(jnp.int32),
+        glp.reshape(R, 1).astype(logits.dtype),
+        gent.reshape(R, 1).astype(logits.dtype),
+    )
+    return dx.reshape(logits.shape), None
+
+
+logp_entropy_pallas.defvjp(_fwd_impl, _vjp_bwd)
+
+
+def supports(logits: jax.Array) -> bool:
+    """Whether the fused kernel applies (TPU backend or interpret mode, f32,
+    bounded N — rows*N must fit the VMEM row-block budget)."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return ((on_tpu or _ls.INTERPRET)
+            and logits.dtype == jnp.float32 and logits.shape[-1] <= _MAX_N)

@@ -1,0 +1,190 @@
+"""Fully-fused single-pass RL recurrence kernels.
+
+These go beyond the generic linear-scan kernel (linear_scan.py) by moving the
+op's elementwise prologue/epilogue INTO the kernel, so each op touches HBM
+exactly once per input/output — the same total-fusion property the reference
+gets from its hand-written CUDA kernels (e.g. gae_kernel.h fuses delta
+computation, the recurrence, and the denominator divide in one kernel), but
+log-depth over T instead of sequential:
+
+  - gae_fused_pallas:      value, reward -> advantage       (gae_kernel.h:10-35)
+  - lambda_returns_pallas: value, reward -> lambda-returns  (td_lambda_kernel.h:11-40)
+  - vtrace_returns_adv_pallas: rhos, cs, pg_rhos, reward, value
+                           -> (vs returns, advantages)      (vtrace_kernel.h:153-195)
+
+All outputs are recurrence targets the consuming losses treat as
+stop-gradient (SURVEY.md §7), so forward-only kernels suffice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from di_hpc_tpu.pallas_kernels import linear_scan as _ls
+
+
+def _suffix_scan(aa: jax.Array, bb: jax.Array) -> jax.Array:
+    """In-VMEM suffix composition: y[t] = a[t] + b[t] * y[t+1], y[T] = 0.
+
+    bb may be (T, 1) (row-constant coefficients, cheaper shifts) or match aa.
+    """
+    T = aa.shape[0]
+    k = 1
+    while k < T:
+        a_sh = jnp.concatenate([aa[k:], jnp.zeros((k,) + aa.shape[1:], aa.dtype)], axis=0)
+        b_sh = jnp.concatenate([bb[k:], jnp.ones((k,) + bb.shape[1:], bb.dtype)], axis=0)
+        aa = aa + bb * a_sh
+        bb = bb * b_sh
+        k *= 2
+    return aa
+
+
+def _pick_blk(T: int, B: int, n_bufs: int) -> int:
+    blk = 512
+    while blk > 128 and n_bufs * (T + 1) * blk * 4 > 10 * 1024 * 1024:
+        blk //= 2
+    return blk
+
+
+# ---------------------------------------------------------------------------
+# GAE
+# ---------------------------------------------------------------------------
+
+def _gae_kernel(value_ref, reward_ref, denom_ref, out_ref, *,
+                gamma: float, lambda_: float, T: int):
+    v = value_ref[:]           # (T+1, blk)
+    r = reward_ref[:]          # (T, blk)
+    denom = denom_ref[:]       # (T, 1)
+    delta = r + gamma * v[1:] - v[:-1]
+    a = denom * delta
+    b = jnp.full((T, 1), gamma * lambda_, a.dtype)
+    y = _suffix_scan(a, b)
+    out_ref[:] = y / denom
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
+def gae_fused_pallas(value: jax.Array, reward: jax.Array,
+                     gamma: float = 0.99, lambda_: float = 0.97) -> jax.Array:
+    """Single-HBM-pass GAE: reads value (T+1, B) + reward (T, B), writes
+    adv (T, B); delta/denominator/divide all fused in VMEM."""
+    from di_hpc_tpu.ops.scan import gae_denominators
+
+    T, B = reward.shape
+    denom = gae_denominators(T, lambda_, dtype=reward.dtype).reshape(T, 1)
+    blk = _pick_blk(T, B, 3)
+    kernel = functools.partial(_gae_kernel, gamma=gamma, lambda_=lambda_, T=T)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, B), reward.dtype),
+        grid=(pl.cdiv(B, blk),),
+        in_specs=[
+            pl.BlockSpec((T + 1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * T * B * max(1, (T - 1)).bit_length(),
+            bytes_accessed=3 * T * B * 4,
+            transcendentals=0,
+        ),
+        interpret=_ls.INTERPRET,
+    )(value, reward, denom)
+
+
+# ---------------------------------------------------------------------------
+# Generalized lambda returns (scalar gamma/lambda)
+# ---------------------------------------------------------------------------
+
+def _lret_kernel(value_ref, reward_ref, out_ref, *, gamma: float,
+                 lambda_: float, T: int):
+    v = value_ref[:]           # (T+1, blk)
+    r = reward_ref[:]          # (T, blk)
+    d = gamma * lambda_
+    # a[t] = r[t] + (gamma - d) * V[t+1], except a[T-1] = r[T-1] + gamma*V[T];
+    # b[t] = d, except b[T-1] = 0.
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    is_last = row == (T - 1)
+    g_eff = jnp.where(is_last, gamma, gamma - d).astype(v.dtype)
+    a = r + g_eff * v[1:]
+    b = jnp.where(is_last, 0.0, d).astype(v.dtype)
+    out_ref[:] = _suffix_scan(a, b)
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
+def lambda_returns_pallas(value: jax.Array, reward: jax.Array,
+                          gamma: float, lambda_: float) -> jax.Array:
+    """Fused generalized lambda-returns for scalar gamma/lambda: reads
+    value (T+1, B) + reward (T, B) once, writes returns (T, B)."""
+    T, B = reward.shape
+    blk = _pick_blk(T, B, 3)
+    kernel = functools.partial(_lret_kernel, gamma=gamma, lambda_=lambda_, T=T)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, B), reward.dtype),
+        grid=(pl.cdiv(B, blk),),
+        in_specs=[
+            pl.BlockSpec((T + 1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * T * B * max(1, (T - 1)).bit_length(),
+            bytes_accessed=3 * T * B * 4,
+            transcendentals=0,
+        ),
+        interpret=_ls.INTERPRET,
+    )(value, reward)
+
+
+# ---------------------------------------------------------------------------
+# V-trace returns + advantage
+# ---------------------------------------------------------------------------
+
+def _vtrace_kernel(rhos_ref, cs_ref, pg_ref, reward_ref, value_ref,
+                   ret_ref, adv_ref, *, gamma: float, lambda_: float, T: int):
+    rhos = rhos_ref[:]
+    cs = cs_ref[:]
+    pg = pg_ref[:]
+    r = reward_ref[:]
+    v = value_ref[:]           # (T+1, blk)
+    delta = rhos * (r + gamma * v[1:] - v[:-1])
+    items = _suffix_scan(delta, gamma * lambda_ * cs)
+    ret = v[:-1] + items
+    ret_ref[:] = ret
+    ret_tp1 = jnp.concatenate([ret[1:], v[-1:]], axis=0)
+    adv_ref[:] = pg * (r + gamma * ret_tp1 - v[:-1])
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
+def vtrace_returns_adv_pallas(rhos, cs, pg_rhos, reward, value,
+                              gamma: float = 0.99, lambda_: float = 0.95):
+    """Fused V-trace recurrence: one pass over the 4 (T, B) inputs +
+    value (T+1, B), producing (returns, advantages) (reference spreads this
+    over 3 kernels, vtrace_kernel.h:153-195)."""
+    T, B = reward.shape
+    blk = _pick_blk(T, B, 7)
+    kernel = functools.partial(_vtrace_kernel, gamma=gamma, lambda_=lambda_, T=T)
+    tb = lambda i: (0, i)
+    spec = pl.BlockSpec((T, blk), tb, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((T, B), reward.dtype),
+                   jax.ShapeDtypeStruct((T, B), reward.dtype)),
+        grid=(pl.cdiv(B, blk),),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec((T + 1, blk), tb, memory_space=pltpu.VMEM)],
+        out_specs=(spec, spec),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * T * B * max(1, (T - 1)).bit_length(),
+            bytes_accessed=7 * T * B * 4,
+            transcendentals=0,
+        ),
+        interpret=_ls.INTERPRET,
+    )(rhos, cs, pg_rhos, reward, value)
+    return out
