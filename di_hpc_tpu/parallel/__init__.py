@@ -20,3 +20,4 @@ from .dscan import (
     linear_recurrence_forward_sharded,
 )
 from .api import data_parallel, gae_time_sharded
+from .runtime import initialize, global_batch_from_host_local

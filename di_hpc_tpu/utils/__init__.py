@@ -5,3 +5,5 @@ from .constants import (
     PRE_SAMPLE_DIV_FACTOR,
     DEFAULT_KAPPA,
 )
+from .checkpoint import save_pytree, load_pytree
+from .profiling import bench_fn, roofline, trace

@@ -1,0 +1,96 @@
+"""Tracing / profiling / roofline utilities.
+
+The reference's observability is a debug TRACE macro and D2H dump helpers
+(include/hpc/rll/cuda/common.h:17-42) plus wall-clock prints in tests.  The
+TPU-native equivalents:
+
+ - `trace(dir)`: context manager around jax.profiler (view in Perfetto /
+   TensorBoard);
+ - `bench_fn`: dispatch-overhead-immune op timing (fori_loop differential,
+   the method bench.py uses);
+ - `roofline`: compares measured time against the HBM speed-of-light for the
+   op's actual memory traffic (per BASELINE.md, the scan-family ops are
+   HBM-bound, so bytes/bandwidth is the floor).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+# Peak HBM bandwidth per chip, bytes/s (TPU v5e ~819 GB/s; v4 ~1.2 TB/s).
+HBM_GBPS = {"v5e": 819e9, "v4": 1228e9, "v5p": 2765e9}
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/dihpc_trace"):
+    """Profile a block: `with trace(): f()` then inspect in Perfetto."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def bench_fn(fn, *args, k1: int = 10, k2: int = 110, reps: int = 4) -> float:
+    """Seconds per application of fn(*args), measured as the marginal cost of
+    extra iterations inside one jitted fori_loop (cancels dispatch/readback
+    overhead, which dominates over tunneled chips)."""
+
+    def looped(K):
+        @jax.jit
+        def run():
+            leaves0 = jax.tree.leaves(args)[0]
+
+            def body(i, carry):
+                perturbed = jax.tree.map(
+                    lambda x: x + carry * 1e-12 if jnp.issubdtype(
+                        jnp.asarray(x).dtype, jnp.floating) else x,
+                    args[0])
+                out = fn(perturbed, *args[1:])
+                return jnp.sum(jax.tree.leaves(out)[0]) * 1e-12 + 1.0
+
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+        return run
+
+    times = []
+    for K in (k1, k2):
+        run = looped(K)
+        float(run())
+        best = float("inf")
+        for _ in range(reps):
+            t = time.time()
+            float(run())
+            best = min(best, time.time() - t)
+        times.append(best)
+    return max((times[1] - times[0]) / (k2 - k1), 1e-12)
+
+
+@dataclass
+class Roofline:
+    seconds: float
+    bytes_accessed: int
+    achieved_gbps: float
+    sol_seconds: float
+    sol_fraction: float
+
+    def __str__(self):
+        return (f"{self.seconds*1e6:.1f}us, {self.achieved_gbps/1e9:.0f}GB/s "
+                f"({self.sol_fraction*100:.0f}% of HBM speed-of-light, "
+                f"floor {self.sol_seconds*1e6:.1f}us)")
+
+
+def roofline(seconds: float, bytes_accessed: int, chip: str = "v5e") -> Roofline:
+    bw = HBM_GBPS[chip]
+    sol = bytes_accessed / bw
+    return Roofline(
+        seconds=seconds,
+        bytes_accessed=bytes_accessed,
+        achieved_gbps=bytes_accessed / seconds,
+        sol_seconds=sol,
+        sol_fraction=sol / seconds,
+    )
