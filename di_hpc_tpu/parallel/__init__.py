@@ -19,5 +19,10 @@ from .dscan import (
     linear_recurrence_reverse_sharded,
     linear_recurrence_forward_sharded,
 )
-from .api import data_parallel, gae_time_sharded
+from .api import (
+    data_parallel,
+    gae_time_sharded,
+    lambda_returns_time_sharded,
+    td_lambda_error_time_sharded,
+)
 from .runtime import initialize, global_batch_from_host_local

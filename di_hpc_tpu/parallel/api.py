@@ -42,6 +42,48 @@ def data_parallel(fn: Callable, mesh: Mesh, batch_dims, axis: str = DATA_AXIS):
     return wrapped
 
 
+def lambda_returns_time_sharded(
+    value: jax.Array,       # (T+1, B) replicated over the time axis
+    reward: jax.Array,      # (T, B) time-sharded
+    mesh: Mesh,
+    gamma: float,
+    lambda_: float,
+    time_axis: str = TIME_AXIS,
+    batch_axis: str | None = None,
+) -> jax.Array:
+    """Sequence-parallel generalized lambda-returns (scalar gamma/lambda):
+    result[t] = [r_t + (g-d)V_{t+1}] + d*result[t+1], d = g*l, with the T-1
+    element cut off — runs blockwise over the time-sharded mesh axis."""
+    T = reward.shape[0]
+    d = gamma * lambda_
+    g_eff = jnp.full((T,) + (1,) * (reward.ndim - 1), gamma - d, reward.dtype)
+    g_eff = g_eff.at[-1].set(gamma)
+    a = reward + g_eff * value[1:]
+    b = jnp.full_like(reward, d).at[-1].set(0.0)
+    return linear_recurrence_reverse_sharded(
+        a, b, mesh, time_axis=time_axis, batch_axis=batch_axis)
+
+
+def td_lambda_error_time_sharded(
+    value: jax.Array,       # (T+1, B)
+    reward: jax.Array,      # (T, B)
+    weight: jax.Array | None,
+    mesh: Mesh,
+    gamma: float = 0.9,
+    lambda_: float = 0.8,
+    time_axis: str = TIME_AXIS,
+    batch_axis: str | None = None,
+) -> jax.Array:
+    """TD(lambda) loss with the return recurrence computed sequence-parallel;
+    the final mean is a global reduction XLA lowers to an ICI all-reduce."""
+    if weight is None:
+        weight = jnp.ones_like(reward)
+    return_ = jax.lax.stop_gradient(lambda_returns_time_sharded(
+        jax.lax.stop_gradient(value), reward, mesh, gamma, lambda_,
+        time_axis, batch_axis))
+    return 0.5 * jnp.mean((return_ - value[:-1]) ** 2 * weight)
+
+
 def gae_time_sharded(
     value: jax.Array,       # (T+1, B), time-sharded consistently with reward
     reward: jax.Array,      # (T, B)

@@ -52,6 +52,20 @@ def test_gae_time_sharded(key):
 
 
 @needs_8
+def test_td_lambda_time_sharded(key):
+    mesh = parallel.make_mesh({"time": 4, "data": 2})
+    T, B = 64, 16
+    k1, k2, k3 = jax.random.split(key, 3)
+    value = jax.random.normal(k1, (T + 1, B))
+    reward = jax.random.normal(k2, (T, B))
+    weight = jax.random.uniform(k3, (B,), minval=0.3, maxval=2.0)
+    ref = origin.td_lambda_error(origin.td_lambda_data(value, reward, weight), 0.9, 0.8)
+    got = parallel.td_lambda_error_time_sharded(
+        value, reward, weight, mesh, 0.9, 0.8, batch_axis="data")
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+@needs_8
 def test_data_parallel_vtrace_global_mean(key):
     mesh = parallel.make_mesh({"data": 8})
     T, B, N = 16, 32, 6
