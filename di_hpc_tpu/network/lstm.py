@@ -34,10 +34,53 @@ from di_hpc_tpu.origin.rnn import (
     layer_norm,
 )
 
-__all__ = ["lstm_fused", "LSTM", "LSTMParams", "init_lstm_params"]
+__all__ = [
+    "lstm_fused", "LSTM", "LSTMParams", "init_lstm_params",
+    "flatten_lstm_params", "unflatten_lstm_params",
+]
 
 
-@functools.partial(jax.jit, static_argnames=("norm_type", "dropout"))
+def flatten_lstm_params(params: LSTMParams):
+    """Export params to the reference's flattened layout
+    (hpc_rll/torch_utils/network/rnn.py:93-115): wx/wh/bias are flat 1-D
+    concatenations over layers; LN params are (L, 8H) packing [x-norm 4H |
+    h-norm 4H].  Returns (wx, wh, bias, ln_gamma, ln_beta); LN entries are
+    None for no-norm params."""
+    wx = jnp.concatenate([w.reshape(-1) for w in params.wx])
+    wh = jnp.concatenate([w.reshape(-1) for w in params.wh])
+    bias = params.bias.reshape(-1)
+    if params.ln_gamma_x is None:
+        return wx, wh, bias, None, None
+    ln_gamma = jnp.concatenate([params.ln_gamma_x, params.ln_gamma_h], axis=1)
+    ln_beta = jnp.concatenate([params.ln_beta_x, params.ln_beta_h], axis=1)
+    return wx, wh, bias, ln_gamma, ln_beta
+
+
+def unflatten_lstm_params(wx, wh, bias, ln_gamma, ln_beta,
+                          input_size: int, hidden_size: int,
+                          num_layers: int) -> LSTMParams:
+    """Import params from the reference's flattened layout (inverse of
+    flatten_lstm_params) — lets reference users carry weights over."""
+    H = hidden_size
+    dims = [input_size] + [H] * num_layers
+    wx_l, off = [], 0
+    for l in range(num_layers):
+        n = dims[l] * 4 * H
+        wx_l.append(jnp.asarray(wx)[off:off + n].reshape(dims[l], 4 * H))
+        off += n
+    wh_l = [jnp.asarray(wh)[l * H * 4 * H:(l + 1) * H * 4 * H].reshape(H, 4 * H)
+            for l in range(num_layers)]
+    bias_a = jnp.asarray(bias).reshape(num_layers, 4 * H)
+    if ln_gamma is None:
+        return LSTMParams(tuple(wx_l), tuple(wh_l), bias_a, None, None, None, None)
+    lg = jnp.asarray(ln_gamma)
+    lb = jnp.asarray(ln_beta)
+    return LSTMParams(tuple(wx_l), tuple(wh_l), bias_a,
+                      lg[:, :4 * H], lb[:, :4 * H],
+                      lg[:, 4 * H:], lb[:, 4 * H:])
+
+
+@functools.partial(jax.jit, static_argnames=("norm_type", "dropout", "remat"))
 def lstm_fused(
     params: LSTMParams,
     inputs: jax.Array,                                        # (S, B, input_size)
@@ -45,6 +88,7 @@ def lstm_fused(
     norm_type: Optional[str] = "LN",
     dropout: float = 0.0,
     dropout_key: Optional[jax.Array] = None,
+    remat: bool = False,
 ):
     """Returns (output (S, B, H), (h (L, B, H), c (L, B, H)))."""
     S, B = inputs.shape[:2]
@@ -89,6 +133,11 @@ def lstm_fused(
             h_new = o * jnp.tanh(c_new)
             return (h_new, c_new), h_new
 
+        if remat:
+            # Trade FLOPs for HBM: recompute cell activations in the backward
+            # instead of stashing them (the reference stashes ifog for every
+            # step, torch_utils/network/rnn.py:124-127).
+            step = jax.checkpoint(step)
         (h_l, c_l), x = jax.lax.scan(step, (H0[l], C0[l]), gx)
         hs.append(h_l)
         cs.append(c_l)

@@ -23,6 +23,7 @@ from .api import (
     data_parallel,
     gae_time_sharded,
     lambda_returns_time_sharded,
+    lstm_param_shardings,
     td_lambda_error_time_sharded,
 )
 from .runtime import initialize, global_batch_from_host_local

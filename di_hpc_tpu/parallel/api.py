@@ -84,6 +84,28 @@ def td_lambda_error_time_sharded(
     return 0.5 * jnp.mean((return_ - value[:-1]) ** 2 * weight)
 
 
+def lstm_param_shardings(mesh: Mesh, num_layers: int,
+                         model_axis: str = "model"):
+    """Tensor-parallel NamedShardings for LSTMParams: the 4H gate dimension
+    is sharded over `model_axis` (each device holds a slice of every gate),
+    matching SURVEY.md §2.5's TP plan for the LSTM hidden dim.  LayerNorm
+    over the sharded gate dim is handled by XLA (it inserts the partial-sum
+    collectives for the mean/variance)."""
+    from jax.sharding import NamedSharding
+    from di_hpc_tpu.origin.rnn import LSTMParams
+
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    return LSTMParams(
+        wx=tuple(ns(None, model_axis) for _ in range(num_layers)),
+        wh=tuple(ns(None, model_axis) for _ in range(num_layers)),
+        bias=ns(None, model_axis),
+        ln_gamma_x=ns(None, model_axis), ln_beta_x=ns(None, model_axis),
+        ln_gamma_h=ns(None, model_axis), ln_beta_h=ns(None, model_axis),
+    )
+
+
 def gae_time_sharded(
     value: jax.Array,       # (T+1, B), time-sharded consistently with reward
     reward: jax.Array,      # (T, B)

@@ -91,6 +91,41 @@ def test_module_wrapper(key):
         mod(params, x[:, :1])
 
 
+def test_flatten_roundtrip(key):
+    from di_hpc_tpu.network.lstm import flatten_lstm_params, unflatten_lstm_params
+    I, H, L = 7, 5, 3
+    params = origin.init_lstm_params(key, I, H, L, "LN")
+    flat = flatten_lstm_params(params)
+    assert flat[0].shape == (I * 4 * H + (L - 1) * H * 4 * H,)
+    assert flat[3].shape == (L, 8 * H)
+    back = unflatten_lstm_params(*flat, input_size=I, hidden_size=H, num_layers=L)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # no-LN variant
+    p2 = origin.init_lstm_params(key, I, H, L, None)
+    f2 = flatten_lstm_params(p2)
+    assert f2[3] is None
+    back2 = unflatten_lstm_params(*f2, input_size=I, hidden_size=H, num_layers=L)
+    assert back2.ln_gamma_x is None
+
+
+def test_remat_matches(key):
+    S, B, I, H, L = 6, 3, 7, 5, 2
+    k1, k2 = jax.random.split(key)
+    params = origin.init_lstm_params(k1, I, H, L, "LN")
+    x = jax.random.normal(k2, (S, B, I))
+
+    def loss(p, remat):
+        y, _ = network.lstm_fused(p, x, None, "LN", remat=remat)
+        return jnp.sum(y ** 2)
+
+    np.testing.assert_allclose(loss(params, False), loss(params, True), rtol=1e-6)
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
 def test_sequence_mask():
     m = origin.sequence_mask(jnp.array([1, 3, 0]), max_len=4)
     want = np.array([[1, 0, 0, 0], [1, 1, 1, 0], [0, 0, 0, 0]], bool)
