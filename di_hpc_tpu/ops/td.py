@@ -105,11 +105,11 @@ def td_lambda_error(data: td_lambda_data, gamma: float = 0.9,
 # ---------------------------------------------------------------------------
 
 q_nstep_td_error = jax.jit(
-    _origin_td.q_nstep_td_error, static_argnames=("gamma", "nstep")
+    _origin_td.q_nstep_td_error, static_argnames=("gamma", "nstep", "criterion")
 )
 q_nstep_td_error_with_rescale = jax.jit(
     _origin_td.q_nstep_td_error_with_rescale,
-    static_argnames=("gamma", "nstep", "trans_fn", "inv_trans_fn"),
+    static_argnames=("gamma", "nstep", "criterion", "trans_fn", "inv_trans_fn"),
 )
 dist_nstep_td_error = jax.jit(
     _origin_td.dist_nstep_td_error,

@@ -145,7 +145,14 @@ class q_nstep_td_data(NamedTuple):
     weight: Optional[jax.Array]
 
 
-def q_nstep_td_error(data: q_nstep_td_data, gamma: float, nstep: int = 1):
+def _mse(pred, target):
+    return (pred - target) ** 2
+
+
+def q_nstep_td_error(data: q_nstep_td_data, gamma: float, nstep: int = 1,
+                     criterion=_mse):
+    """criterion(pred, target) -> per-sample loss; defaults to squared error
+    (the reference's MSELoss(reduction='none'), origin/td.py:256)."""
     q, next_n_q, action, next_n_action, reward, done, weight = data
     B = q.shape[0]
     if weight is None:
@@ -153,7 +160,7 @@ def q_nstep_td_error(data: q_nstep_td_data, gamma: float, nstep: int = 1):
     q_s_a = jnp.take_along_axis(q, action[:, None], axis=1)[:, 0]
     target_q_s_a = jnp.take_along_axis(next_n_q, next_n_action[:, None], axis=1)[:, 0]
     target = nstep_return(nstep_return_data(reward, target_q_s_a, done), gamma, nstep)
-    td_error_per_sample = (q_s_a - jax.lax.stop_gradient(target)) ** 2
+    td_error_per_sample = criterion(q_s_a, jax.lax.stop_gradient(target))
     return jnp.mean(td_error_per_sample * weight), td_error_per_sample
 
 
@@ -161,6 +168,7 @@ def q_nstep_td_error_with_rescale(
     data: q_nstep_td_data,
     gamma: float,
     nstep: int = 1,
+    criterion=_mse,
     trans_fn=value_transform,
     inv_trans_fn=value_inv_transform,
 ):
@@ -173,7 +181,7 @@ def q_nstep_td_error_with_rescale(
     target_q_s_a = inv_trans_fn(target_q_s_a)
     target = nstep_return(nstep_return_data(reward, target_q_s_a, done), gamma, nstep)
     target = trans_fn(target)
-    td_error_per_sample = (q_s_a - jax.lax.stop_gradient(target)) ** 2
+    td_error_per_sample = criterion(q_s_a, jax.lax.stop_gradient(target))
     return jnp.mean(td_error_per_sample * weight), td_error_per_sample
 
 
