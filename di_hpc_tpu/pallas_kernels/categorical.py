@@ -26,8 +26,9 @@ _MAX_N = 8192
 
 
 def _pick_blk_rows(N: int, n_bufs: int) -> int:
+    # +4 headroom for softmax temporaries and pipeline double-buffering.
     blk = 1024
-    while blk > 8 and n_bufs * blk * N * 4 > 8 * 1024 * 1024:
+    while blk > 8 and (n_bufs + 4) * blk * N * 4 > 13 * 1024 * 1024:
         blk //= 2
     return blk
 

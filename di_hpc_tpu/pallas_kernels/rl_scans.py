@@ -45,8 +45,10 @@ def _suffix_scan(aa: jax.Array, bb: jax.Array) -> jax.Array:
 
 
 def _pick_blk(T: int, B: int, n_bufs: int) -> int:
+    # Budget counts io buffers (double-buffered by the pipeline) plus ~4
+    # live doubling-scan temporaries; Mosaic's scoped-vmem limit is 16MB.
     blk = 512
-    while blk > 128 and n_bufs * (T + 1) * blk * 4 > 10 * 1024 * 1024:
+    while blk > 128 and (n_bufs + 4) * (T + 1) * blk * 4 > 13 * 1024 * 1024:
         blk //= 2
     return blk
 
