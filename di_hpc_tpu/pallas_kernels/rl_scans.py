@@ -28,6 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 from di_hpc_tpu.pallas_kernels import linear_scan as _ls
 
 
+# NOTE on gradients: these kernels are forward-only.  Their outputs are
+# recurrence targets the consuming losses detach (the reference's
+# GAEFunction.backward likewise returns Nones, hpc_rll/rl_utils/gae.py:16-18),
+# so each public entry point carries a zero-gradient custom VJP — without one,
+# jax.grad cannot linearize through the pallas_call even when the cotangent
+# is severed by a downstream stop_gradient.
+
+
 def _suffix_scan(aa: jax.Array, bb: jax.Array) -> jax.Array:
     """In-VMEM suffix composition: y[t] = a[t] + b[t] * y[t+1], y[T] = 0.
 
@@ -69,11 +77,24 @@ def _gae_kernel(value_ref, reward_ref, denom_ref, out_ref, *,
     out_ref[:] = y / denom
 
 
-@functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def gae_fused_pallas(value: jax.Array, reward: jax.Array,
                      gamma: float = 0.99, lambda_: float = 0.97) -> jax.Array:
     """Single-HBM-pass GAE: reads value (T+1, B) + reward (T, B), writes
-    adv (T, B); delta/denominator/divide all fused in VMEM."""
+    adv (T, B); delta/denominator/divide all fused in VMEM.  Forward-only
+    (zero-grad VJP)."""
+    return _gae_fused_impl(value, reward, gamma, lambda_)
+
+
+gae_fused_pallas.defvjp(
+    lambda v, r, g, l: (_gae_fused_impl(v, r, g, l), (v, r)),
+    lambda g, l, res, ct: tuple(jnp.zeros_like(x) for x in res),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
+def _gae_fused_impl(value: jax.Array, reward: jax.Array,
+                    gamma: float, lambda_: float) -> jax.Array:
     from di_hpc_tpu.ops.scan import gae_denominators
 
     T, B = reward.shape
@@ -118,11 +139,24 @@ def _lret_kernel(value_ref, reward_ref, out_ref, *, gamma: float,
     out_ref[:] = _suffix_scan(a, b)
 
 
-@functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def lambda_returns_pallas(value: jax.Array, reward: jax.Array,
                           gamma: float, lambda_: float) -> jax.Array:
     """Fused generalized lambda-returns for scalar gamma/lambda: reads
-    value (T+1, B) + reward (T, B) once, writes returns (T, B)."""
+    value (T+1, B) + reward (T, B) once, writes returns (T, B).
+    Forward-only (zero-grad VJP)."""
+    return _lambda_returns_impl(value, reward, gamma, lambda_)
+
+
+lambda_returns_pallas.defvjp(
+    lambda v, r, g, l: (_lambda_returns_impl(v, r, g, l), (v, r)),
+    lambda g, l, res, ct: tuple(jnp.zeros_like(x) for x in res),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
+def _lambda_returns_impl(value: jax.Array, reward: jax.Array,
+                         gamma: float, lambda_: float) -> jax.Array:
     T, B = reward.shape
     blk = _pick_blk(T, B, 3)
     kernel = functools.partial(_lret_kernel, gamma=gamma, lambda_=lambda_, T=T)
@@ -163,12 +197,25 @@ def _vtrace_kernel(rhos_ref, cs_ref, pg_ref, reward_ref, value_ref,
     adv_ref[:] = pg * (r + gamma * ret_tp1 - v[:-1])
 
 
-@functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def vtrace_returns_adv_pallas(rhos, cs, pg_rhos, reward, value,
                               gamma: float = 0.99, lambda_: float = 0.95):
     """Fused V-trace recurrence: one pass over the 4 (T, B) inputs +
     value (T+1, B), producing (returns, advantages) (reference spreads this
-    over 3 kernels, vtrace_kernel.h:153-195)."""
+    over 3 kernels, vtrace_kernel.h:153-195).  Forward-only (zero-grad VJP)."""
+    return _vtrace_returns_adv_impl(rhos, cs, pg_rhos, reward, value, gamma, lambda_)
+
+
+vtrace_returns_adv_pallas.defvjp(
+    lambda r, c, p, rw, v, g, l: (
+        _vtrace_returns_adv_impl(r, c, p, rw, v, g, l), (r, c, p, rw, v)),
+    lambda g, l, res, ct: tuple(jnp.zeros_like(x) for x in res),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
+def _vtrace_returns_adv_impl(rhos, cs, pg_rhos, reward, value,
+                             gamma: float, lambda_: float):
     T, B = reward.shape
     blk = _pick_blk(T, B, 7)
     kernel = functools.partial(_vtrace_kernel, gamma=gamma, lambda_=lambda_, T=T)

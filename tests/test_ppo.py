@@ -75,11 +75,18 @@ def test_ppo_grads_flow_and_monitors_do_not(key):
     g_ln, g_vn = jax.grad(total, argnums=(0, 1))(ln, vn)
     assert float(jnp.abs(g_ln).max()) > 0
     assert float(jnp.abs(g_vn).max()) > 0
-    # finite-difference check on the policy logits
-    eps = 1e-3
-    d = jax.random.normal(ks[0], (B, N))
-    fd = (total(ln + eps * d, vn) - total(ln - eps * d, vn)) / (2 * eps)
-    np.testing.assert_allclose(float(jnp.vdot(g_ln, d)), float(fd), rtol=5e-2, atol=1e-4)
+    # analytic parity with the oracle implementation (an fd check is fragile
+    # here: the clipped surrogate is only piecewise differentiable)
+    from di_hpc_tpu import origin
+
+    def total_o(ln_, vn_):
+        (pol, vl, el), _ = origin.ppo_error(
+            origin.ppo_data(ln_, lo, act, vn_, vo, adv, ret, None), 0.2, True, None)
+        return pol + 0.5 * vl - 0.01 * el
+
+    go_ln, go_vn = jax.grad(total_o, argnums=(0, 1))(ln, vn)
+    np.testing.assert_allclose(g_ln, go_ln, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(g_vn, go_vn, rtol=1e-4, atol=1e-6)
 
 
 def test_ppo_dual_clip_validation(key):
