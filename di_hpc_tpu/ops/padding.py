@@ -26,7 +26,27 @@ from di_hpc_tpu.origin.padding import (
     UnPadding3D,
     cum,
 )
-from di_hpc_tpu.utils.native import native_oracle_split_group
+from di_hpc_tpu.utils.native import (
+    native_oracle_split_group,
+    native_pack_padded_f32,
+)
+
+
+def _pad_nd_fast(x, value, ndim):
+    """Padded-batch assembly with the C++ ragged-pack data plane for float32
+    inputs (one memcpy per contiguous row instead of a Python loop); falls
+    back to the Python/numpy oracle otherwise."""
+    import jax.numpy as jnp
+
+    shapes = [tuple(t.shape) for t in x]
+    if all(len(s) == ndim for s in shapes) and all(
+            np.asarray(t).dtype == np.float32 for t in x):
+        max_shape = [max(d) for d in zip(*shapes)]
+        res = native_pack_padded_f32([np.asarray(t) for t in x], max_shape, value)
+        if res is not None:
+            out, mask = res
+            return jnp.asarray(out), jnp.asarray(mask), shapes
+    return _origin._pad_nd(x, value, ndim)
 
 __all__ = [
     "Padding1D", "Padding2D", "Padding3D",
@@ -76,7 +96,7 @@ def _padding_nd(x, ndim, mode="constant", value=0, group=1,
     assert group_mode in ("sample", "oracle"), group_mode
     assert group >= 1, group
     if group <= 1:
-        return _origin._pad_nd(x, value, ndim)
+        return _pad_nd_fast(x, value, ndim)
     x = sorted(x, key=lambda t: cum(tuple(t.shape)))
     if group_mode == "oracle":
         group_shape, group_idx = oracle_split_group(x, group)
@@ -84,7 +104,7 @@ def _padding_nd(x, ndim, mode="constant", value=0, group=1,
         group_shape, group_idx = sample_split_group(x, group, rng=rng)
     assert len(group_idx) == len(group_shape) + 1
     ret = [
-        _origin._pad_nd(x[group_idx[i]:group_idx[i + 1]], value, ndim)
+        _pad_nd_fast(x[group_idx[i]:group_idx[i + 1]], value, ndim)
         for i in range(len(group_shape))
     ]
     return list(zip(*ret))

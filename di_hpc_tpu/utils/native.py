@@ -48,6 +48,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.pack_padded_f32.restype = None
+    lib.pack_padded_f32.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
     return lib
 
 
@@ -62,6 +69,38 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             _lib = _build_and_load()
             _tried = True
     return _lib
+
+
+def native_pack_padded_f32(srcs, max_shape, value: float = 0.0):
+    """C++ ragged pack of a list of float32 numpy arrays (same ndim) into a
+    padded batch + mask; returns (out, mask) numpy arrays or None when the
+    native lib is unavailable or inputs do not qualify."""
+    import numpy as np
+
+    lib = get_native_lib()
+    if lib is None or not srcs:
+        return None
+    ndim = srcs[0].ndim
+    arrs = []
+    for a in srcs:
+        a = np.ascontiguousarray(a, dtype=np.float32)
+        if a.ndim != ndim:
+            return None
+        arrs.append(a)
+    n = len(arrs)
+    out = np.full((n, *max_shape), value, dtype=np.float32)
+    mask = np.full((n, *max_shape), value, dtype=np.float32)
+    ptrs = (ctypes.POINTER(ctypes.c_float) * n)(
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for a in arrs])
+    shapes = (ctypes.c_int64 * (n * ndim))(
+        *[d for a in arrs for d in a.shape])
+    maxs = (ctypes.c_int64 * ndim)(*max_shape)
+    lib.pack_padded_f32(
+        ptrs, shapes, n, ndim, maxs,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out, mask
 
 
 def native_oracle_split_group(numels, group: int):

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from di_hpc_tpu import ops, origin
+from di_hpc_tpu.origin import padding as _origin_padding
 from di_hpc_tpu.origin.padding import cum
 
 
@@ -79,6 +80,22 @@ def test_oracle_dp_beats_or_ties_naive():
         return c
     naive = cum(tuple(data[-1].shape)) * len(data)
     assert cost(pos) <= naive
+
+
+def test_native_pack_matches_origin():
+    """C++ ragged pack produces identical padded batches and masks."""
+    from di_hpc_tpu.ops.padding import _pad_nd_fast
+    from di_hpc_tpu.utils.native import get_native_lib
+    if get_native_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(9)
+    for ndim in (1, 2, 3):
+        data = _rand_list(rng, 10, ndim, 2, 7)
+        got = _pad_nd_fast(data, 0.0, ndim)
+        want = origin.padding._pad_nd(data, 0.0, ndim)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+        assert got[2] == want[2]
 
 
 def test_padding_2d_3d_shapes():
