@@ -172,7 +172,9 @@ def _pick_method(a: jax.Array) -> Method:
         and a.dtype == jnp.float32
         and a.shape[0] >= 32
         and a.shape[1] >= 128
-        and a.shape[0] * a.shape[1] * 4 * 3 <= 12 * 1024 * 1024  # a, b, out per lane-tile
+        # VMEM feasibility is per B-tile (>=128 lanes), not full B:
+        # ~7 live (T, 128) buffers must fit under the 16MB scoped limit.
+        and a.shape[0] * 128 * 4 * 7 <= 13 * 1024 * 1024
     ):
         return "pallas"
     return "associative"
