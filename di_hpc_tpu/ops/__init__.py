@@ -15,6 +15,7 @@ from .td import (
     qrdqn_nstep_td_error, qrdqn_nstep_td_data, QRDQNNStepTDError,
     iqn_nstep_td_error, iqn_nstep_td_data, IQNNStepTDError,
 )
+from .categorical import logp, logp_entropy
 from .ppo import ppo_error, ppo_data, ppo_loss, ppo_info, PPO
 from .vtrace import vtrace_error, vtrace_data, vtrace_loss, VTrace
 from .upgo import upgo_loss, upgo_returns, UPGO

@@ -39,8 +39,8 @@ def test_lstm_activation_matches_manual(key):
     i, f, gg, o = np.split(g, 4, axis=1)
     cw = sig(f) * np.asarray(c) + sig(i) * np.tanh(gg)
     hw = sig(o) * np.tanh(cw)
-    np.testing.assert_allclose(c_new, cw, rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(h_new, hw, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(c_new, cw, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(h_new, hw, rtol=1e-3, atol=1e-4)
 
 
 def test_lstm_activation_matches_torch_cell(key):
