@@ -59,8 +59,8 @@ def test_lstm_activation_matches_torch_cell(key):
     h_got, c_got = models.lstm_activation(
         jnp.asarray(ih), jnp.asarray(hh), jnp.asarray(bias),
         jnp.zeros((B, H)), jnp.asarray(c0[0].detach().numpy()))
-    np.testing.assert_allclose(h_got, h1[0].detach().numpy(), rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(c_got, c1[0].detach().numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(h_got, h1[0].detach().numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(c_got, c1[0].detach().numpy(), rtol=1e-4, atol=1e-4)
 
 
 def test_pre_sample(key):
