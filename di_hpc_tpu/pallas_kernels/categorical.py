@@ -33,7 +33,7 @@ def _pick_blk_rows(N: int, n_bufs: int) -> int:
     return blk
 
 
-def _fwd_kernel(x_ref, a_ref, logp_ref, ent_ref):
+def _fwd_kernel(x_ref, a_ref, logp_ref, ent_ref, lse_ref):
     x = x_ref[:]                                   # (blk, N)
     a = a_ref[:]                                   # (blk, 1)
     m = jnp.max(x, axis=-1, keepdims=True)
@@ -46,20 +46,21 @@ def _fwd_kernel(x_ref, a_ref, logp_ref, ent_ref):
     xa = jnp.sum(jnp.where(col == a, x, 0.0), axis=-1, keepdims=True)
     logp_ref[:] = xa - lse
     ent_ref[:] = ent
+    lse_ref[:] = lse
 
 
-def _bwd_kernel(x_ref, a_ref, glp_ref, gent_ref, dx_ref):
+def _bwd_kernel(x_ref, a_ref, lse_ref, ent_ref, glp_ref, gent_ref, dx_ref):
+    """Purely elementwise backward: the per-row log-sum-exp and entropy are
+    stashed residuals from the forward ((rows,) vectors — negligible traffic
+    next to the (rows, N) logits), so no reductions are recomputed here."""
     x = x_ref[:]
     a = a_ref[:]
+    lse = lse_ref[:]                               # (blk, 1)
+    ent = ent_ref[:]                               # (blk, 1)
     glp = glp_ref[:]                               # (blk, 1)
     gent = gent_ref[:]                             # (blk, 1)
-    m = jnp.max(x, axis=-1, keepdims=True)
-    e = jnp.exp(x - m)
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    lse = m + jnp.log(s)
-    p = e / s
     logp = x - lse
-    ent = -jnp.sum(p * logp, axis=-1, keepdims=True)
+    p = jnp.exp(logp)
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     onehot = (col == a).astype(x.dtype)
     # d(logp_a)/dx = onehot - p;  dH/dx_j = -p_j * (logp_j + H)
@@ -70,44 +71,44 @@ def _call_fwd(logits2d, actions2d):
     R, N = logits2d.shape
     blk = _pick_blk_rows(N, 3)
     row = lambda i: (i, 0)
+    vec = pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _fwd_kernel,
         out_shape=(jax.ShapeDtypeStruct((R, 1), logits2d.dtype),
+                   jax.ShapeDtypeStruct((R, 1), logits2d.dtype),
                    jax.ShapeDtypeStruct((R, 1), logits2d.dtype)),
         grid=(pl.cdiv(R, blk),),
         in_specs=[
             pl.BlockSpec((blk, N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM),
+            vec,
         ],
-        out_specs=(pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM),
-                   pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM)),
+        out_specs=(vec, vec, vec),
         cost_estimate=pl.CostEstimate(
-            flops=8 * R * N, bytes_accessed=(R * N + 3 * R) * 4,
-            transcendentals=2 * R * N),
+            flops=8 * R * N, bytes_accessed=(R * N + 4 * R) * 4,
+            transcendentals=R * N),
         interpret=_ls.INTERPRET,
     )(logits2d, actions2d)
 
 
-def _call_bwd(logits2d, actions2d, glp, gent):
+def _call_bwd(logits2d, actions2d, lse, ent, glp, gent):
     R, N = logits2d.shape
     blk = _pick_blk_rows(N, 4)
     row = lambda i: (i, 0)
+    vec = pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _bwd_kernel,
         out_shape=jax.ShapeDtypeStruct((R, N), logits2d.dtype),
         grid=(pl.cdiv(R, blk),),
         in_specs=[
             pl.BlockSpec((blk, N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM),
-        ],
+            vec, vec, vec, vec, vec,
+        ][:6],
         out_specs=pl.BlockSpec((blk, N), row, memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=10 * R * N, bytes_accessed=2 * R * N * 4,
-            transcendentals=2 * R * N),
+            flops=8 * R * N, bytes_accessed=2 * R * N * 4,
+            transcendentals=R * N),
         interpret=_ls.INTERPRET,
-    )(logits2d, actions2d, glp, gent)
+    )(logits2d, actions2d, lse, ent, glp, gent)
 
 
 @jax.custom_vjp
@@ -126,12 +127,13 @@ def _fwd_impl(logits, actions):
         R *= d
     x2 = logits.reshape(R, N)
     a2 = actions.reshape(R, 1).astype(jnp.int32)
-    lp, ent = _call_fwd(x2, a2)
-    return (lp.reshape(batch_shape), ent.reshape(batch_shape)), (logits, actions)
+    lp, ent, lse = _call_fwd(x2, a2)
+    return ((lp.reshape(batch_shape), ent.reshape(batch_shape)),
+            (logits, actions, lse, ent))
 
 
 def _vjp_bwd(res, g):
-    logits, actions = res
+    logits, actions, lse, ent = res
     glp, gent = g
     batch_shape = logits.shape[:-1]
     N = logits.shape[-1]
@@ -141,6 +143,8 @@ def _vjp_bwd(res, g):
     dx = _call_bwd(
         logits.reshape(R, N),
         actions.reshape(R, 1).astype(jnp.int32),
+        lse.reshape(R, 1),
+        ent.reshape(R, 1),
         glp.reshape(R, 1).astype(logits.dtype),
         gent.reshape(R, 1).astype(logits.dtype),
     )
@@ -158,4 +162,5 @@ def supports(logits: jax.Array) -> bool:
     except Exception:
         on_tpu = False
     return ((on_tpu or _ls.INTERPRET)
-            and logits.dtype == jnp.float32 and logits.shape[-1] <= _MAX_N)
+            and logits.dtype == jnp.float32
+            and 16 <= logits.shape[-1] <= _MAX_N)
