@@ -22,12 +22,33 @@ import math
 import sys
 import time
 
+import os
+
 import jax
+
+# Persistent compilation cache: bench compiles ~28 programs; caching makes
+# re-runs (and the driver's round-end run) fast.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "build", "jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 
 
 def _log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# Self-imposed wall-clock budget: skip remaining stages rather than get
+# killed mid-TPU-op (a killed client can wedge a tunneled chip).
+_START = time.time()
+_BUDGET_S = float(os.environ.get("DIHPC_BENCH_BUDGET_S", "420"))
+
+
+def _remaining():
+    return _BUDGET_S - (time.time() - _START)
 
 
 def _bench_loop(make_body, K, n=4):
@@ -74,6 +95,12 @@ def main():
     key = jax.random.PRNGKey(0)
     details = {}
 
+    def run_stage(key_name, label, naive, fused, est_s, **kw):
+        if _remaining() < est_s:
+            _log(f"  [skip] {label}: {_remaining():.0f}s budget left < est {est_s}s")
+            return
+        details[key_name] = bench_op(label, naive, fused, **kw)
+
     # ----- GAE / TD(lambda): BASELINE config T=1024, B=4096 -----
     T, B = 1024, 4096
     ks = jax.random.split(key, 4)
@@ -86,10 +113,11 @@ def main():
             return fn(origin.gae_data(value, r))
         return step
 
-    details["gae_T1024_B4096"] = bench_op(
-        "gae T=1024 B=4096",
+    run_stage(
+        "gae_T1024_B4096", "gae T=1024 B=4096",
         gae_step(functools.partial(origin.gae, gamma=0.99, lambda_=0.97)),
         gae_step(functools.partial(ops.gae, gamma=0.99, lambda_=0.97)),
+        est_s=50,
     )
 
     def tdl_step(fn):
@@ -100,10 +128,11 @@ def main():
             return out * 1e-12 + jnp.float32(1.0)
         return step
 
-    details["td_lambda_T1024_B4096"] = bench_op(
-        "td_lambda T=1024 B=4096",
+    run_stage(
+        "td_lambda_T1024_B4096", "td_lambda T=1024 B=4096",
         tdl_step(origin.td_lambda_error),
         tdl_step(ops.td_lambda_error),
+        est_s=60,
     )
 
     # ----- vtrace / upgo at BASELINE batch scale: T=1024, B=4096 is the
@@ -124,11 +153,11 @@ def main():
             return (out.policy_loss + out.value_loss + out.entropy_loss) * 1e-12 + 1.0
         return step
 
-    details["vtrace_T128_B512_N128"] = bench_op(
-        "vtrace T=128 B=512 N=128",
+    run_stage(
+        "vtrace_T128_B512_N128", "vtrace T=128 B=512 N=128",
         vtrace_step(origin.vtrace_error),
         vtrace_step(ops.vtrace_error),
-        K1=5, K2=55,
+        est_s=80, K1=5, K2=55,
     )
 
     rhos = jnp.exp(jax.random.normal(ks[0], (Tv, Bv)) * 0.1)
@@ -139,11 +168,58 @@ def main():
             return fn(t, rhos, act, rew_v, val_v) * 1e-12 + 1.0
         return step
 
-    details["upgo_T128_B512_N128"] = bench_op(
-        "upgo T=128 B=512 N=128",
+    run_stage(
+        "upgo_T128_B512_N128", "upgo T=128 B=512 N=128",
         upgo_step(origin.upgo_loss),
         upgo_step(ops.upgo_loss),
-        K1=5, K2=55,
+        est_s=70, K1=5, K2=55,
+    )
+
+    # ----- training path: loss value_and_grad (what a learner step runs) -----
+    def vtrace_train_step(fn_mod):
+        def loss(t_):
+            l = fn_mod.vtrace_error(
+                fn_mod.vtrace_data(t_, bo, act, val_v, rew_v, None))
+            return l.policy_loss + 0.5 * l.value_loss - 0.01 * l.entropy_loss
+
+        def step(carry, init=False):
+            t = to if init else to + carry * 1e-12
+            v, g = jax.value_and_grad(loss)(t)
+            return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
+        return step
+
+    run_stage(
+        "vtrace_grad_T128_B512_N128", "vtrace+grad",
+        vtrace_train_step(origin),
+        vtrace_train_step(ops),
+        est_s=130, K1=5, K2=30, n=3,
+    )
+
+    Bp, Np = 4096, 128
+    kp = jax.random.split(jax.random.PRNGKey(3), 7)
+    ln = jax.random.normal(kp[0], (Bp, Np)); lo = jax.random.normal(kp[1], (Bp, Np))
+    act_p = jax.random.randint(kp[2], (Bp,), 0, Np)
+    vn = jax.random.normal(kp[3], (Bp,)); vo = jax.random.normal(kp[4], (Bp,))
+    adv = jax.random.normal(kp[5], (Bp,)); ret = jax.random.normal(kp[6], (Bp,))
+
+    def ppo_train_step(fn_mod):
+        def loss(ln_):
+            (pol, vl, el), _ = fn_mod.ppo_error(
+                fn_mod.ppo_data(ln_, lo, act_p, vn, vo, adv, ret, None),
+                0.2, True, None)
+            return pol + 0.5 * vl - 0.01 * el
+
+        def step(carry, init=False):
+            x = ln if init else ln + carry * 1e-12
+            v, g = jax.value_and_grad(loss)(x)
+            return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
+        return step
+
+    run_stage(
+        "ppo_grad_B4096_N128", "ppo+grad B=4096 N=128",
+        ppo_train_step(origin),
+        ppo_train_step(ops),
+        est_s=90, K1=10, K2=60, n=3,
     )
 
     # ----- LSTM: reference config seq=64, B=3, in=1792, hid=384, L=3 -----
@@ -159,14 +235,16 @@ def main():
             return jnp.sum(y) * 1e-12 + 1.0
         return step
 
-    details["lstm_s64_b3_i1792_h384_l3"] = bench_op(
-        "lstm ref config",
+    run_stage(
+        "lstm_s64_b3_i1792_h384_l3", "lstm ref config",
         lstm_step(origin.lstm),
         lstm_step(network.lstm_fused),
-        K1=2, K2=12, n=3,
+        est_s=60, K1=2, K2=12, n=3,
     )
 
     speedups = [d["speedup"] for d in details.values()]
+    if not speedups:
+        speedups = [0.0]
     geomean = math.exp(sum(math.log(max(s, 1e-9)) for s in speedups) / len(speedups))
     result = {
         "metric": "fused_vs_naive_geomean_speedup",
