@@ -6,6 +6,12 @@ from .actor_critic_lstm import (
     ActorCriticParams,
     TrainBatch,
     actor_critic_forward,
+    actor_step,
     init_actor_critic,
     make_train_step,
+)
+from .entity_selection import (
+    EntitySelectionParams,
+    init_entity_selection,
+    select_entities,
 )

@@ -79,6 +79,24 @@ def actor_critic_forward(
     return logits, value, next_state
 
 
+@functools.partial(jax.jit, static_argnames=("norm_type",), donate_argnums=(2,))
+def actor_step(
+    params: ActorCriticParams,
+    obs: jax.Array,                              # (B, obs_dim) one timestep
+    state: Tuple[jax.Array, jax.Array],          # (h, c), each (L, B, H)
+    rng: jax.Array,
+    norm_type: Optional[str] = "LN",
+):
+    """Serving-path actor step: one policy forward + categorical sample.
+    The LSTM state is donated (updated in place on device), so the steady
+    state allocates nothing per step.  Returns (action (B,), behaviour_logits
+    (B, A), value (B,), new_state)."""
+    logits, value, new_state = actor_critic_forward(
+        params, obs[None], state, norm_type)
+    action = jax.random.categorical(rng, logits[0], axis=-1)
+    return action, logits[0], value[0], new_state
+
+
 class TrainBatch(NamedTuple):
     obs: jax.Array               # (T+1, B, obs_dim)
     actions: jax.Array           # (T, B) int32

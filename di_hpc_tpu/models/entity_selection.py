@@ -1,0 +1,106 @@
+"""Autoregressive entity-selection head (AlphaStar selected-units style).
+
+Composes the three `hpc_models` helper ops the reference ships in isolation
+(src/models/actor_critic.cu; tested separately in tests/test_actor_critic.py)
+into the loop they exist for: at each step, attend over entity keys from the
+current autoregressive embedding (pre_sample), pick an entity, fold its key
+embedding back into the embedding (update_ae), and advance a single-cell LSTM
+(lstm_activation).  Selection ends when the policy picks the sentinel index
+`entity_num` (the "end" token).
+
+The loop is a `lax.scan` over a static maximum number of selections with
+masking after termination — the jit-compatible form of the reference's
+host-side Python loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from di_hpc_tpu.models.actor_critic import lstm_activation, pre_sample, update_ae
+
+__all__ = ["EntitySelectionParams", "init_entity_selection", "select_entities"]
+
+
+class EntitySelectionParams(NamedTuple):
+    w_ih: jax.Array   # (D, 4H) input->gates for the LSTM cell (torch i,f,g,o)
+    w_hh: jax.Array   # (H, 4H)
+    bias: jax.Array   # (4H,)
+    w_query: jax.Array  # (H, Hk) lstm output -> attention query
+
+
+def init_entity_selection(key: jax.Array, input_dim: int, hidden: int,
+                          key_dim: int) -> EntitySelectionParams:
+    k1, k2, k3 = jax.random.split(key, 3)
+    s = 1.0 / jnp.sqrt(hidden)
+    return EntitySelectionParams(
+        w_ih=jax.random.normal(k1, (input_dim, 4 * hidden)) / jnp.sqrt(input_dim),
+        w_hh=jax.random.normal(k2, (hidden, 4 * hidden)) * s,
+        bias=jnp.zeros((4 * hidden,)),
+        w_query=jax.random.normal(k3, (hidden, key_dim)) * s,
+    )
+
+
+def select_entities(
+    params: EntitySelectionParams,
+    key_embeddings: jax.Array,      # (B, M, Dk)
+    entity_mask: jax.Array,         # (B, M) bool — selectable entities
+    entity_num: jax.Array,          # (B,) int — index of the end sentinel
+    init_ae: jax.Array,             # (B, D) initial autoregressive embedding
+    lstm_state: Tuple[jax.Array, jax.Array],  # (h, c), each (B, H)
+    max_selections: int,
+    rng: Optional[jax.Array] = None,  # sample when given, else argmax
+):
+    """Returns (selected (S, B) int32 — entity_num marks 'end'/done,
+    logits (S, B, M+1), new_lstm_state).
+
+    The M+1-th attention column is the end sentinel: a one-hot key of zeros
+    lets the trained query terminate selection (index == entity_num[b]).
+    Already-selected entities are masked out, matching AlphaStar semantics.
+    """
+    B, M, Dk = key_embeddings.shape
+    H = params.w_hh.shape[0]
+
+    # Append a zero key as the end sentinel at column M; entity_num points at
+    # it (reference encodes "end" as sample_entity == entity_num,
+    # actor_critic_kernel.h:20-22).
+    keys_ext = jnp.concatenate(
+        [key_embeddings, jnp.zeros((B, 1, Dk), key_embeddings.dtype)], axis=1)
+    mask_ext = jnp.concatenate(
+        [entity_mask, jnp.ones((B, 1), bool)], axis=1)
+
+    def step(carry, step_rng):
+        ae, h, c, avail, done = carry
+        ih = ae @ params.w_ih
+        hh = h @ params.w_hh
+        h_new, c_new = lstm_activation(ih, hh, params.bias, h, c)
+        query = h_new @ params.w_query                         # (B, Dk)
+        logits = pre_sample(keys_ext, query, avail)            # (B, M+1)
+        if step_rng is None:
+            choice = jnp.argmax(logits, axis=-1)
+        else:
+            choice = jax.random.categorical(step_rng, logits, axis=-1)
+        choice = jnp.where(done, entity_num, choice).astype(jnp.int32)
+        is_end = choice == entity_num
+        ae_new = update_ae(ae, key_embeddings, choice, entity_num)
+        # An entity can be selected once.
+        avail = avail & (jax.lax.broadcasted_iota(jnp.int32, avail.shape, 1)
+                         != choice[:, None])
+        done_new = done | is_end
+        h_out = jnp.where(done[:, None], h, h_new)
+        c_out = jnp.where(done[:, None], c, c_new)
+        return (ae_new, h_out, c_out, avail, done_new), (choice, logits)
+
+    h0, c0 = lstm_state
+    init = (init_ae, h0, c0, mask_ext, jnp.zeros((B,), bool))
+    if rng is None:
+        carry, (selected, logits) = jax.lax.scan(
+            step, init, None, length=max_selections)
+    else:
+        keys = jax.random.split(rng, max_selections)
+        carry, (selected, logits) = jax.lax.scan(step, init, keys)
+    ae, h, c, _, _ = carry
+    return selected, logits, (h, c), ae
