@@ -34,7 +34,8 @@ def _pick_blk_rows(N: int, n_bufs: int) -> int:
 
 
 def _fwd_kernel(x_ref, a_ref, logp_ref, ent_ref, lse_ref):
-    x = x_ref[:]                                   # (blk, N)
+    # bf16 inputs are upcast in VMEM: HBM traffic stays half, math is f32.
+    x = x_ref[:].astype(jnp.float32)               # (blk, N)
     a = a_ref[:]                                   # (blk, 1)
     m = jnp.max(x, axis=-1, keepdims=True)
     e = jnp.exp(x - m)
@@ -53,7 +54,7 @@ def _bwd_kernel(x_ref, a_ref, lse_ref, ent_ref, glp_ref, gent_ref, dx_ref):
     """Purely elementwise backward: the per-row log-sum-exp and entropy are
     stashed residuals from the forward ((rows,) vectors — negligible traffic
     next to the (rows, N) logits), so no reductions are recomputed here."""
-    x = x_ref[:]
+    x = x_ref[:].astype(jnp.float32)
     a = a_ref[:]
     lse = lse_ref[:]                               # (blk, 1)
     ent = ent_ref[:]                               # (blk, 1)
@@ -64,7 +65,8 @@ def _bwd_kernel(x_ref, a_ref, lse_ref, ent_ref, glp_ref, gent_ref, dx_ref):
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     onehot = (col == a).astype(x.dtype)
     # d(logp_a)/dx = onehot - p;  dH/dx_j = -p_j * (logp_j + H)
-    dx_ref[:] = glp * (onehot - p) - gent * p * (logp + ent)
+    dx = glp * (onehot - p) - gent * p * (logp + ent)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
 def _call_fwd(logits2d, actions2d):
@@ -74,9 +76,9 @@ def _call_fwd(logits2d, actions2d):
     vec = pl.BlockSpec((blk, 1), row, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _fwd_kernel,
-        out_shape=(jax.ShapeDtypeStruct((R, 1), logits2d.dtype),
-                   jax.ShapeDtypeStruct((R, 1), logits2d.dtype),
-                   jax.ShapeDtypeStruct((R, 1), logits2d.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((R, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((R, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((R, 1), jnp.float32)),
         grid=(pl.cdiv(R, blk),),
         in_specs=[
             pl.BlockSpec((blk, N), row, memory_space=pltpu.VMEM),
@@ -145,8 +147,8 @@ def _vjp_bwd(res, g):
         actions.reshape(R, 1).astype(jnp.int32),
         lse.reshape(R, 1),
         ent.reshape(R, 1),
-        glp.reshape(R, 1).astype(logits.dtype),
-        gent.reshape(R, 1).astype(logits.dtype),
+        glp.reshape(R, 1).astype(jnp.float32),
+        gent.reshape(R, 1).astype(jnp.float32),
     )
     return dx.reshape(logits.shape), None
 
@@ -162,5 +164,5 @@ def supports(logits: jax.Array) -> bool:
     except Exception:
         on_tpu = False
     return ((on_tpu or _ls.INTERPRET)
-            and logits.dtype == jnp.float32
+            and logits.dtype in (jnp.float32, jnp.bfloat16)
             and 16 <= logits.shape[-1] <= _MAX_N)

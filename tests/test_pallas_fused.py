@@ -93,6 +93,29 @@ def test_categorical_kernel_vjp(interpret, key):
     np.testing.assert_allclose(g_p, g_j, rtol=1e-4, atol=1e-5)
 
 
+def test_categorical_kernel_bf16(interpret, key):
+    """bf16 logits: f32 math in VMEM, f32 logp/entropy, bf16 gradient."""
+    from di_hpc_tpu.pallas_kernels.categorical import logp_entropy_pallas
+    from di_hpc_tpu.origin.ppo import categorical_entropy, categorical_log_prob
+    B, N = 32, 21
+    k1, k2 = jax.random.split(key)
+    logits = jax.random.normal(k1, (B, N), jnp.bfloat16)
+    act = jax.random.randint(k2, (B,), 0, N)
+    lp, ent = logp_entropy_pallas(logits, act)
+    assert lp.dtype == jnp.float32
+    ref_lp = categorical_log_prob(logits.astype(jnp.float32), act)
+    ref_ent = categorical_entropy(logits.astype(jnp.float32))
+    np.testing.assert_allclose(lp, ref_lp, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(ent, ref_ent, rtol=2e-2, atol=2e-2)
+    g = jax.grad(lambda x: jnp.sum(logp_entropy_pallas(x, act)[0]))(logits)
+    assert g.dtype == jnp.bfloat16
+    g_ref = jax.grad(lambda x: jnp.sum(
+        categorical_log_prob(x.astype(jnp.float32), act)))(logits)
+    np.testing.assert_allclose(np.asarray(g, np.float32),
+                               np.asarray(g_ref, np.float32),
+                               rtol=5e-2, atol=2e-2)
+
+
 def test_fused_ops_route_through_kernels(interpret, key):
     """End-to-end: ops.* with interpret-forced Pallas backends match oracles
     (fresh shapes to avoid earlier jit cache entries from the non-fused path)."""
