@@ -13,8 +13,6 @@ bottleneck, not FLOPs).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -104,7 +102,7 @@ def _call_bwd(logits2d, actions2d, lse, ent, glp, gent):
         in_specs=[
             pl.BlockSpec((blk, N), row, memory_space=pltpu.VMEM),
             vec, vec, vec, vec, vec,
-        ][:6],
+        ],
         out_specs=pl.BlockSpec((blk, N), row, memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=8 * R * N, bytes_accessed=2 * R * N * 4,
@@ -157,8 +155,8 @@ logp_entropy_pallas.defvjp(_fwd_impl, _vjp_bwd)
 
 
 def supports(logits: jax.Array) -> bool:
-    """Whether the fused kernel applies (TPU backend or interpret mode, f32,
-    bounded N — rows*N must fit the VMEM row-block budget)."""
+    """Whether the fused kernel applies: TPU backend (or interpret mode),
+    f32/bf16 logits, and an action dim that fits the VMEM row-block budget."""
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
