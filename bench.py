@@ -68,8 +68,10 @@ def _dispatch_overhead():
             t = time.time()
             float(f(x))
             samples.append(time.time() - t)
-        samples.sort()
-        _overhead_s = samples[len(samples) // 2]
+        # min, to pair with min-of-n loop totals (subtracting the median
+        # would over-subtract whenever the fastest run also had a fast
+        # round-trip).
+        _overhead_s = min(samples)
         _log(f"  dispatch overhead ~{_overhead_s*1e3:.1f}ms")
     return _overhead_s
 
@@ -242,7 +244,7 @@ def main():
         "ppo_grad_B4096_N128", "ppo+grad B=4096 N=128",
         ppo_train_step(origin),
         ppo_train_step(ops),
-        est_s=60, K=500,
+        est_s=60, K=4000,
     )
 
     # ----- LSTM: reference config seq=64, B=3, in=1792, hid=384, L=3 -----
@@ -262,7 +264,7 @@ def main():
         "lstm_s64_b3_i1792_h384_l3", "lstm ref config",
         lstm_step(origin.lstm),
         lstm_step(network.lstm_fused),
-        est_s=50, K=400,
+        est_s=50, K=1000,
     )
 
     speedups = [d["speedup"] for d in details.values()]
