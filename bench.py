@@ -20,6 +20,7 @@ import functools
 import json
 import math
 import sys
+import threading
 import time
 
 import os
@@ -49,6 +50,40 @@ _BUDGET_S = float(os.environ.get("DIHPC_BENCH_BUDGET_S", "420"))
 
 def _remaining():
     return _BUDGET_S - (time.time() - _START)
+
+
+_details: dict = {}
+_emitted = threading.Lock()
+
+
+def _emit_result_and_exit(exit_code=0):
+    """Print the single JSON result line exactly once (also used by the
+    watchdog when a remote compile hangs past the budget)."""
+    if not _emitted.acquire(blocking=False):
+        return
+    speedups = [d["speedup"] for d in _details.values()] or [0.0]
+    geomean = math.exp(sum(math.log(max(s, 1e-9)) for s in speedups) / len(speedups))
+    result = {
+        "metric": "fused_vs_naive_geomean_speedup",
+        "value": round(geomean, 3),
+        "unit": "x",
+        "vs_baseline": round(geomean / 5.0, 3),
+        "details": {k: {kk: round(vv, 3) for kk, vv in v.items()}
+                    for k, v in _details.items()},
+    }
+    print(json.dumps(result), flush=True)
+    if exit_code is not None:
+        os._exit(exit_code)
+
+
+def _start_watchdog():
+    def fire():
+        _log("  [watchdog] budget exceeded mid-stage; emitting partial result")
+        _emit_result_and_exit(0)
+
+    t = threading.Timer(_BUDGET_S + 90, fire)
+    t.daemon = True
+    t.start()
 
 
 _overhead_s = None
@@ -115,10 +150,11 @@ def bench_op(name, naive_step, fused_step, K=1000, n=3):
 def main():
     from di_hpc_tpu import network, ops, origin
 
+    _start_watchdog()
     backend = jax.default_backend()
     _log(f"backend: {backend}, devices: {jax.devices()}")
     key = jax.random.PRNGKey(0)
-    details = {}
+    details = _details
 
     def run_stage(key_name, label, naive, fused, est_s, **kw):
         if _remaining() < est_s:
@@ -267,19 +303,7 @@ def main():
         est_s=50, K=1000,
     )
 
-    speedups = [d["speedup"] for d in details.values()]
-    if not speedups:
-        speedups = [0.0]
-    geomean = math.exp(sum(math.log(max(s, 1e-9)) for s in speedups) / len(speedups))
-    result = {
-        "metric": "fused_vs_naive_geomean_speedup",
-        "value": round(geomean, 3),
-        "unit": "x",
-        "vs_baseline": round(geomean / 5.0, 3),
-        "details": {k: {kk: round(vv, 3) for kk, vv in v.items()}
-                    for k, v in details.items()},
-    }
-    print(json.dumps(result))
+    _emit_result_and_exit(exit_code=None)
 
 
 if __name__ == "__main__":
