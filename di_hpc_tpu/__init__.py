@@ -17,4 +17,4 @@ helpers), built for TPU:
 
 __version__ = "0.1.0"
 
-from di_hpc_tpu import origin, ops, network, models, parallel, utils  # noqa: F401
+from di_hpc_tpu import data, origin, ops, network, models, parallel, utils  # noqa: F401
