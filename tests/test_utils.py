@@ -34,6 +34,17 @@ def test_roofline():
     assert "GB/s" in str(r)
 
 
+def test_bench_fn_measures_positive_time(key):
+    x = jax.random.normal(key, (64, 64))
+    t = utils.bench_fn(lambda a: a @ a, x, k1=2, k2=12, reps=2)
+    assert t > 0
+
+
+def test_runtime_initialize_noop():
+    from di_hpc_tpu.parallel import initialize
+    initialize(num_processes=1)  # single-process: must be a no-op
+
+
 def test_native_lib_builds_and_matches():
     """C++ bucketing DP builds with g++ and agrees with the Python DP."""
     lib = get_native_lib()
