@@ -19,8 +19,6 @@ detaches (origin/td.py:171,290,339; kernel grad stashes only flow to q/dist).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
@@ -44,9 +42,11 @@ __all__ = [
     "qrdqn_nstep_td_error", "iqn_nstep_td_error",
     "TDLambda", "QNStepTD", "QNStepTDRescale", "DistNStepTD",
     "QRDQNNStepTDError", "IQNNStepTDError",
-    # data tuples re-exported for API parity
+    # data tuples + helpers re-exported for API parity
     "td_lambda_data", "q_nstep_td_data", "dist_nstep_td_data",
     "qrdqn_nstep_td_data", "iqn_nstep_td_data",
+    "nstep_return", "nstep_return_data", "value_transform",
+    "value_inv_transform",
 ]
 
 

@@ -12,8 +12,6 @@ target logits (policy-gradient + entropy) and the value (MSE) only.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

@@ -23,7 +23,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from di_hpc_tpu.ops.scan import (
     linear_recurrence_forward,

@@ -9,7 +9,7 @@ inserts the ICI/DCN collectives.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
