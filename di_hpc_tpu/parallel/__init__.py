@@ -25,5 +25,7 @@ from .api import (
     lambda_returns_time_sharded,
     lstm_param_shardings,
     td_lambda_error_time_sharded,
+    upgo_loss_time_sharded,
+    vtrace_error_time_sharded,
 )
 from .runtime import initialize, global_batch_from_host_local

@@ -106,6 +106,75 @@ def lstm_param_shardings(mesh: Mesh, num_layers: int,
     )
 
 
+def vtrace_error_time_sharded(
+    data,                       # ops.vtrace_data; (T, ...) fields time-sharded
+    mesh: Mesh,
+    gamma: float = 0.99,
+    lambda_: float = 0.95,
+    rho_clip_ratio: float = 1.0,
+    c_clip_ratio: float = 1.0,
+    rho_pg_clip_ratio: float = 1.0,
+    time_axis: str = TIME_AXIS,
+    batch_axis: str | None = None,
+):
+    """Sequence-parallel V-trace: categorical heads and elementwise terms are
+    sharded over time by GSPMD; the return recurrence runs blockwise via the
+    distributed scan (one small boundary all_gather); the shifted
+    return_{t+1} access becomes a collective-permute at chunk edges."""
+    from di_hpc_tpu.origin.ppo import categorical_entropy, categorical_log_prob
+    from di_hpc_tpu.origin.vtrace import vtrace_loss
+
+    target_output, behaviour_output, action, value, reward, weight = data
+
+    logp_target = categorical_log_prob(target_output, action)
+    logp_behaviour = jax.lax.stop_gradient(
+        categorical_log_prob(behaviour_output, action))
+    IS = jax.lax.stop_gradient(jnp.exp(logp_target - logp_behaviour))
+    rhos = jnp.minimum(IS, rho_clip_ratio)
+    cs = jnp.minimum(IS, c_clip_ratio)
+    pg_rhos = jnp.minimum(IS, rho_pg_clip_ratio)
+
+    v = jax.lax.stop_gradient(value)
+    deltas = rhos * (reward + gamma * v[1:] - v[:-1])
+    items = linear_recurrence_reverse_sharded(
+        deltas, gamma * lambda_ * cs, mesh,
+        time_axis=time_axis, batch_axis=batch_axis)
+    return_ = v[:-1] + items
+    return_tp1 = jnp.concatenate([return_[1:], v[-1:]], axis=0)
+    adv = pg_rhos * (reward + gamma * return_tp1 - v[:-1])
+
+    if weight is None:
+        weight = jnp.ones_like(reward)
+    pg_loss = -jnp.mean(logp_target * adv * weight)
+    value_loss = jnp.mean((value[:-1] - return_) ** 2 * weight)
+    entropy_loss = jnp.mean(categorical_entropy(target_output) * weight)
+    return vtrace_loss(pg_loss, value_loss, entropy_loss)
+
+
+def upgo_loss_time_sharded(
+    target_output, rhos, action, rewards, bootstrap_values,
+    mesh: Mesh,
+    time_axis: str = TIME_AXIS,
+    batch_axis: str | None = None,
+):
+    """Sequence-parallel UPGO: the binary-lambda return recurrence runs on
+    the distributed scan; the cross-entropy head shards over time."""
+    from di_hpc_tpu.origin.ppo import categorical_log_prob
+
+    v = jax.lax.stop_gradient(bootstrap_values)
+    r = jax.lax.stop_gradient(rewards)
+    lambdas = ((r + v[1:]) >= v[:-1]).astype(r.dtype)
+    lambdas = jnp.concatenate([lambdas[1:], jnp.ones_like(lambdas[-1:])], axis=0)
+    # generalized lambda returns with gamma = 1 as a linear recurrence
+    d = lambdas.at[-1].set(0.0)
+    a = r + (1.0 - d) * v[1:]
+    returns = linear_recurrence_reverse_sharded(
+        a, d, mesh, time_axis=time_axis, batch_axis=batch_axis)
+    advantages = jax.lax.stop_gradient(rhos) * (returns - v[:-1])
+    metric = categorical_log_prob(target_output, action)
+    return -jnp.mean(advantages * metric)
+
+
 def gae_time_sharded(
     value: jax.Array,       # (T+1, B), time-sharded consistently with reward
     reward: jax.Array,      # (T, B)

@@ -66,6 +66,42 @@ def test_td_lambda_time_sharded(key):
 
 
 @needs_8
+def test_vtrace_time_sharded(key):
+    mesh = parallel.make_mesh({"time": 4, "data": 2})
+    T, B, N = 32, 8, 6
+    ks = jax.random.split(key, 5)
+    to = jax.random.normal(ks[0], (T, B, N)); bo = jax.random.normal(ks[1], (T, B, N))
+    act = jax.random.randint(ks[2], (T, B), 0, N)
+    value = jax.random.normal(ks[3], (T + 1, B)); reward = jax.random.normal(ks[4], (T, B))
+    data = ops.vtrace_data(to, bo, act, value, reward, None)
+    ref = origin.vtrace_error(data)
+    got = parallel.vtrace_error_time_sharded(data, mesh, batch_axis="data")
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(float(g), float(r), rtol=1e-4)
+    # gradient path survives the distributed scan (targets are stop-grad)
+    g_to = jax.grad(lambda t: parallel.vtrace_error_time_sharded(
+        ops.vtrace_data(t, bo, act, value, reward, None), mesh).policy_loss)(to)
+    g_ref = jax.grad(lambda t: origin.vtrace_error(
+        ops.vtrace_data(t, bo, act, value, reward, None)).policy_loss)(to)
+    np.testing.assert_allclose(g_to, g_ref, rtol=1e-4, atol=1e-6)
+
+
+@needs_8
+def test_upgo_time_sharded(key):
+    mesh = parallel.make_mesh({"time": 8})
+    T, B, N = 40, 6, 5
+    ks = jax.random.split(key, 5)
+    to = jax.random.normal(ks[0], (T, B, N))
+    rhos = jnp.exp(jax.random.normal(ks[1], (T, B)) * 0.2)
+    act = jax.random.randint(ks[2], (T, B), 0, N)
+    rew = jax.random.normal(ks[3], (T, B))
+    value = jax.random.normal(ks[4], (T + 1, B))
+    ref = origin.upgo_loss(to, rhos, act, rew, value)
+    got = parallel.upgo_loss_time_sharded(to, rhos, act, rew, value, mesh)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-4)
+
+
+@needs_8
 def test_data_parallel_vtrace_global_mean(key):
     mesh = parallel.make_mesh({"data": 8})
     T, B, N = 16, 32, 6
