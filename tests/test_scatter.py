@@ -75,6 +75,30 @@ def test_add_gradient(key):
     np.testing.assert_allclose(float(jnp.vdot(g, d)), float(fd), rtol=1e-2)
 
 
+def test_cover_gradient_gathers_at_location(key):
+    """Cover-mode VJP: every entity reads grad_out at its own location —
+    including collision double-reads, replicating the reference backward
+    (scatter_connection_kernel.h:91-106) and torch scatter_'s autograd."""
+    B, M, N, H, W = 2, 6, 3, 4, 4
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (B, M, N))
+    loc = jnp.stack([jax.random.randint(k2, (B, M), 0, H),
+                     jax.random.randint(k3, (B, M), 0, W)], -1)
+    g_out = jax.random.normal(k1, (B, N, H, W))
+
+    def f(x_):
+        return jnp.sum(network.scatter_connection(x_, (H, W), loc, "cover") * g_out)
+
+    g = jax.grad(f)(x)
+    want = np.zeros((B, M, N))
+    go = np.asarray(g_out)
+    for b in range(B):
+        for m in range(M):
+            y, xx = int(loc[b, m, 0]), int(loc[b, m, 1])
+            want[b, m] = go[b, :, y, xx]
+    np.testing.assert_allclose(g, want, rtol=1e-5, atol=1e-6)
+
+
 def test_wrapper_class(key):
     sc = network.ScatterConnection("add")
     x = jax.random.normal(key, (2, 5, 3))
