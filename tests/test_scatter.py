@@ -84,6 +84,9 @@ def test_cover_gradient_gathers_at_location(key):
     x = jax.random.normal(k1, (B, M, N))
     loc = jnp.stack([jax.random.randint(k2, (B, M), 0, H),
                      jax.random.randint(k3, (B, M), 0, W)], -1)
+    # force a collision so double-read semantics are exercised by
+    # construction, not seed luck
+    loc = loc.at[0, 1].set(loc[0, 0])
     g_out = jax.random.normal(k1, (B, N, H, W))
 
     def f(x_):
