@@ -54,23 +54,29 @@ def select_entities(
     max_selections: int,
     rng: Optional[jax.Array] = None,  # sample when given, else argmax
 ):
-    """Returns (selected (S, B) int32 — entity_num marks 'end'/done,
-    logits (S, B, M+1), new_lstm_state).
+    """Returns a 4-tuple (selected (S, B) int32 — entity_num[b] marks
+    'end'/done, logits (S, B, M+1), new_lstm_state (h, c), final
+    autoregressive embedding (B, D)).
 
-    The M+1-th attention column is the end sentinel: a one-hot key of zeros
-    lets the trained query terminate selection (index == entity_num[b]).
-    Already-selected entities are masked out, matching AlphaStar semantics.
+    Per-row, column entity_num[b] is the end sentinel (zero key): choosing it
+    terminates that row's selection — the reference encodes "end" the same
+    way (sample_entity == entity_num, actor_critic_kernel.h:20-22).  Ragged
+    batches (entity_num[b] < M) are supported: padding entities at columns
+    >= entity_num[b] are masked out and their keys zeroed.  Already-selected
+    entities are masked out, matching AlphaStar semantics.
     """
     B, M, Dk = key_embeddings.shape
     H = params.w_hh.shape[0]
 
-    # Append a zero key as the end sentinel at column M; entity_num points at
-    # it (reference encodes "end" as sample_entity == entity_num,
-    # actor_critic_kernel.h:20-22).
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, M + 1), 1)
+    is_real = col < entity_num[:, None]            # true entities per row
+    is_sentinel = col == entity_num[:, None]       # per-row end column
     keys_ext = jnp.concatenate(
         [key_embeddings, jnp.zeros((B, 1, Dk), key_embeddings.dtype)], axis=1)
-    mask_ext = jnp.concatenate(
-        [entity_mask, jnp.ones((B, 1), bool)], axis=1)
+    # Zero the sentinel/padding keys so 'end' attends against a zero vector.
+    keys_ext = jnp.where(is_real[..., None], keys_ext, 0.0)
+    mask_pad = jnp.concatenate([entity_mask, jnp.ones((B, 1), bool)], axis=1)
+    mask_ext = (is_real & mask_pad) | is_sentinel
 
     def step(carry, step_rng):
         ae, h, c, avail, done = carry

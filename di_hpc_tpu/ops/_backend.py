@@ -24,4 +24,10 @@ def fused_kernels_ok(*arrays, method: str = "auto") -> bool:
         a = jnp.asarray(a)
         if a.ndim != 2 or a.dtype != jnp.float32:
             return False
+        # VMEM feasibility: rl_scans._pick_blk cannot shrink below 128 lanes,
+        # and the widest kernel (vtrace) keeps ~11 live (T, 128) f32 buffers
+        # under Mosaic's 16MB scoped limit.  Longer T falls back to the
+        # associative scan, which scales arbitrarily.
+        if 11 * (a.shape[0] + 1) * 128 * 4 > 13 * 1024 * 1024:
+            return False
     return True

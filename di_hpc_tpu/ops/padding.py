@@ -73,13 +73,19 @@ def oracle_split_group(x: List, group: int):
 def sample_split_group(x: List, group: int, rng=None):
     """Random-pivot bucketing (reference src/rl_utils/padding.cu:8-43):
     sample group-1 pivot shapes + the max shape, dedupe, and split the sorted
-    list at each pivot.  Returns (group_shapes, group_idx)."""
+    list at each pivot.  Returns (group_shapes, group_idx).
+
+    Unlike the reference (which dedupes pivots by shape and crashes its
+    bucket-count invariant when two distinct shapes share a numel,
+    origin/padding.py:77-84), pivots here are deduped by numel — the split
+    comparisons are numel-based, so equal-numel shapes are one pivot.
+    """
     rng = np.random.default_rng() if rng is None else rng
     x_sorted = sorted(x, key=lambda t: cum(tuple(t.shape)))
     sampled_idx = set(rng.choice(len(x_sorted), group - 1).tolist())
     group_shape = [tuple(t.shape) for i, t in enumerate(x_sorted) if i in sampled_idx]
     group_shape += [tuple(x_sorted[-1].shape)]
-    group_shape = sorted(set(group_shape), key=cum)
+    group_shape = sorted({cum(s): s for s in group_shape}.values(), key=cum)
     group_shape_idx = 0
     group_idx = [0]
     for i, t in enumerate(x_sorted):

@@ -29,9 +29,11 @@ def data_parallel(fn: Callable, mesh: Mesh, batch_dims, axis: str = DATA_AXIS):
     before the call.  `batch_dims` mirrors the data pytree (see
     shard_batch_pytree); scalar outputs come back as global reductions.
 
+        # batch_dims mirrors the data pytree — None entries (e.g. an absent
+        # weight) must be None in both:
         dp_vtrace = data_parallel(ops.vtrace_error, mesh,
-                                  vtrace_data(1, 1, 1, 1, 1, 1))
-        losses = dp_vtrace(data, gamma=0.99)
+                                  vtrace_data(1, 1, 1, 1, 1, None))
+        losses = dp_vtrace(vtrace_data(..., weight=None), gamma=0.99)
     """
 
     @functools.wraps(fn)

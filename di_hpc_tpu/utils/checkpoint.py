@@ -22,8 +22,16 @@ import numpy as np
 __all__ = ["save_pytree", "load_pytree"]
 
 
+def _norm(path: str | Path) -> str:
+    """np.savez appends '.npz' to suffix-less paths; normalize both ends of
+    the round-trip so save/load agree on the on-disk name."""
+    p = str(path)
+    return p if p.endswith(".npz") else p + ".npz"
+
+
 def save_pytree(path: str | Path, tree) -> None:
     """Save a pytree of arrays to one .npz (+ structure sidecar in-archive)."""
+    path = _norm(path)
     leaves, treedef = jax.tree.flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     arrays["__treedef__"] = np.frombuffer(
@@ -34,7 +42,7 @@ def save_pytree(path: str | Path, tree) -> None:
 def load_pytree(path: str | Path, like):
     """Load arrays saved by save_pytree into the structure of `like`
     (a pytree with the same topology, e.g. a freshly initialized params)."""
-    with np.load(path, allow_pickle=False) as data:
+    with np.load(_norm(path), allow_pickle=False) as data:
         n = sum(1 for k in data.files if k.startswith("leaf_"))
         leaves = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(n)]
     like_leaves, treedef = jax.tree.flatten(like)

@@ -44,8 +44,6 @@ def bench_fn(fn, *args, k1: int = 10, k2: int = 110, reps: int = 4) -> float:
     def looped(K):
         @jax.jit
         def run():
-            leaves0 = jax.tree.leaves(args)[0]
-
             def body(i, carry):
                 perturbed = jax.tree.map(
                     lambda x: x + carry * 1e-12 if jnp.issubdtype(

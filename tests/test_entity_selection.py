@@ -54,6 +54,29 @@ def test_select_entities_deterministic_argmax(key):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_select_entities_ragged_entity_num(key):
+    """entity_num[b] < M: padding entities never selected; choosing the
+    per-row sentinel column terminates the row."""
+    B, M, S = 3, 6, 6
+    params, ke, mask, _, ae0, state = _setup(key, B=B, M=M)
+    en = jnp.array([3, 6, 4], jnp.int32)  # rows 0 and 2 are ragged
+    sel, logits, _, _ = models.select_entities(
+        params, ke, mask, en, ae0, state, max_selections=S)
+    sel = np.asarray(sel)
+    for b, n in enumerate([3, 6, 4]):
+        ended = False
+        for s in sel[:, b]:
+            if ended:
+                assert s == n            # after end: sentinel forever
+            elif s == n:
+                ended = True
+            else:
+                assert s < n             # only real entities selectable
+        # row must end (either by sentinel or run out of entities)
+        picked = [s for s in sel[:, b] if s != n]
+        assert len(picked) <= n
+
+
 def test_select_entities_sampled(key):
     params, ke, mask, en, ae0, state = _setup(key)
     k1 = jax.random.split(key)[0]
