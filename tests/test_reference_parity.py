@@ -28,7 +28,7 @@ from di_hpc_tpu import origin as jorigin  # noqa: E402
 
 def _t(x):
     import torch
-    return torch.tensor(np.asarray(x))
+    return torch.tensor(np.ascontiguousarray(np.asarray(x)))
 
 
 def test_gae_parity(key):
@@ -211,7 +211,10 @@ def test_lstm_parity(key):
         ref.bias.copy_(_t(params.bias))
     x = jax.random.normal(jax.random.split(key)[0], (S, B, I))
     want_y, want_state = ref(_t(x), None, list_next_state=False)
-    got_y, (got_h, got_c) = jorigin.lstm(params, x, None, "LN")
+    # full-f32 matmuls: the TPU MXU defaults to bf16 inputs, which drifts
+    # ~5e-3 from torch f32 over stacked timesteps
+    with jax.default_matmul_precision("float32"):
+        got_y, (got_h, got_c) = jorigin.lstm(params, x, None, "LN")
     np.testing.assert_allclose(got_y, want_y.detach().numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(got_h, want_state[0].detach().numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(got_c, want_state[1].detach().numpy(), rtol=1e-4, atol=1e-5)
