@@ -77,6 +77,23 @@ def test_vtrace_gradients_match_oracle(key):
     assert float(jnp.abs(gb).max()) == 0.0
 
 
+def test_vtrace_weighted(key):
+    """Per-element (T, B) weights flow through all three losses."""
+    T, B, N = 9, 4, 5
+    ks = jax.random.split(key, 6)
+    to = jax.random.normal(ks[0], (T, B, N)); bo = jax.random.normal(ks[1], (T, B, N))
+    act = jax.random.randint(ks[2], (T, B), 0, N)
+    value = jax.random.normal(ks[3], (T + 1, B)); reward = jax.random.normal(ks[4], (T, B))
+    w = jax.random.uniform(ks[5], (T, B), minval=0.1, maxval=2.0)
+    got = ops.vtrace_error(ops.vtrace_data(to, bo, act, value, reward, w))
+    want = origin.vtrace_error(origin.vtrace_data(to, bo, act, value, reward, w))
+    np.testing.assert_allclose([float(x) for x in got],
+                               [float(x) for x in want], rtol=1e-4, atol=1e-5)
+    # weighting changes the losses
+    unw = ops.vtrace_error(ops.vtrace_data(to, bo, act, value, reward, None))
+    assert abs(float(got.policy_loss) - float(unw.policy_loss)) > 1e-6
+
+
 def test_vtrace_wrapper(key):
     T, B, N = 8, 3, 4
     ks = jax.random.split(key, 5)
