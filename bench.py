@@ -303,6 +303,56 @@ def main():
         est_s=50, K=1000,
     )
 
+    # ----- framework level: full actor-critic V-trace train step -----
+    import optax
+    from di_hpc_tpu.models import (
+        ActorCriticConfig, TrainBatch, init_actor_critic,
+    )
+    from di_hpc_tpu.network import lstm_fused
+    from di_hpc_tpu.origin.rnn import lstm as lstm_naive
+
+    cfg = ActorCriticConfig(obs_dim=256, hidden_size=512, num_layers=2,
+                            action_dim=64)
+    kt = jax.random.split(jax.random.PRNGKey(4), 5)
+    Tt, Bt = 32, 256
+    params0 = init_actor_critic(kt[0], cfg)
+    tb = TrainBatch(
+        obs=jax.random.normal(kt[1], (Tt + 1, Bt, cfg.obs_dim)),
+        actions=jax.random.randint(kt[2], (Tt, Bt), 0, cfg.action_dim),
+        rewards=jax.random.normal(kt[3], (Tt, Bt)),
+        behaviour_logits=jax.random.normal(kt[4], (Tt, Bt, cfg.action_dim)),
+    )
+    optimizer = optax.adam(1e-3)
+    opt0 = optimizer.init(params0)
+
+    def train_step_factory(lstm_impl, vtrace_impl):
+        def loss_fn(params, batch):
+            x = jnp.einsum("sbo,oh->sbh", batch.obs, params.embed_w) + params.embed_b
+            x = jax.nn.relu(x)
+            y, _ = lstm_impl(params.lstm, x, None, cfg.norm_type)
+            logits = jnp.einsum("sbh,ha->sba", y, params.policy_w) + params.policy_b
+            v = jnp.einsum("sbh,h->sb", y, params.value_w[:, 0]) + params.value_b[0]
+            l = vtrace_impl(origin.vtrace_data(
+                logits[:Tt], batch.behaviour_logits, batch.actions, v,
+                batch.rewards, None))
+            return l.policy_loss + 0.5 * l.value_loss - 0.01 * l.entropy_loss
+
+        def step(carry, init=False):
+            batch = tb if init else TrainBatch(
+                tb.obs + carry * 1e-12, tb.actions, tb.rewards,
+                tb.behaviour_logits)
+            lval, grads = jax.value_and_grad(loss_fn)(params0, batch)
+            upd, _ = optimizer.update(grads, opt0, params0)
+            return lval * 1e-12 + jnp.sum(upd.embed_b) * 1e-12 + 1.0
+        return step
+
+    run_stage(
+        "train_step_T32_B256_h512", "train step (model+loss+grad+adam)",
+        train_step_factory(lstm_naive, origin.vtrace_error),
+        train_step_factory(lstm_fused, ops.vtrace_error),
+        est_s=140, K=50, n=3,
+    )
+
     _emit_result_and_exit(exit_code=None)
 
 

@@ -1,0 +1,20 @@
+"""Examples smoke tests (the examples are documentation that must not rot)."""
+
+import os
+import sys
+
+import jax
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
+
+
+def test_impala_training_runs():
+    from impala_training import main
+    main(steps=3, T=8, B=16)
+
+
+def test_impala_actor_learner_runs():
+    from impala_actor_learner import run
+    params = run(steps=3, T=4, env_batch=8, learn_batch=8)
+    assert jax.tree.leaves(params)

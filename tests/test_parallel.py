@@ -21,6 +21,21 @@ def test_mesh_construction():
 
 
 @needs_8
+@pytest.mark.parametrize("tshards", [2, 4, 8])
+def test_time_sharded_scan_splits(tshards, key):
+    mesh = parallel.make_mesh({"time": tshards, "data": 8 // tshards})
+    T, B = 48, 16
+    k1, k2 = jax.random.split(key)
+    a = jax.random.normal(k1, (T, B))
+    b = jax.random.uniform(k2, (T, B), minval=-0.99, maxval=0.99)
+    ref = ops.linear_recurrence_reverse(a, b, method="scan")
+    got = parallel.linear_recurrence_reverse_sharded(
+        a, b, mesh, time_axis="time",
+        batch_axis="data" if tshards < 8 else None)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+@needs_8
 @pytest.mark.parametrize("direction", ["rev", "fwd"])
 def test_time_sharded_scan(direction, key):
     mesh = parallel.make_mesh({"time": 4, "data": 2})
