@@ -126,6 +126,26 @@ def test_remat_matches(key):
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
 
 
+def test_bf16_lstm(key):
+    """bf16 params + inputs run end to end (2x MXU throughput path) and stay
+    within bf16 tolerance of the f32 computation."""
+    S, B, I, H, L = 6, 4, 8, 8, 2
+    k1, k2 = jax.random.split(key)
+    params32 = origin.init_lstm_params(k1, I, H, L, "LN")
+    params16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params32)
+    x32 = jax.random.normal(k2, (S, B, I))
+    x16 = x32.astype(jnp.bfloat16)
+    y32, _ = network.lstm_fused(params32, x32, None, "LN")
+    y16, (h16, c16) = network.lstm_fused(params16, x16, None, "LN")
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y16, np.float32), np.asarray(y32),
+                               rtol=0.1, atol=0.1)
+    # grads exist in bf16
+    g = jax.grad(lambda p: jnp.sum(
+        network.lstm_fused(p, x16, None, "LN")[0].astype(jnp.float32)))(params16)
+    assert g.bias.dtype == jnp.bfloat16
+
+
 def test_sequence_mask():
     m = origin.sequence_mask(jnp.array([1, 3, 0]), max_len=4)
     want = np.array([[1, 0, 0, 0], [1, 1, 1, 0], [0, 0, 0, 0]], bool)
