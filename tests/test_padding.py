@@ -98,6 +98,32 @@ def test_native_pack_matches_origin():
         assert got[2] == want[2]
 
 
+def test_grouped_padding_fuzz():
+    """Random sweep over (n, ndim, group, mode): round-trip must always hold
+    and buckets must always cover the whole list."""
+    rng = np.random.default_rng(11)
+    pads = {1: ops.Padding1D, 2: ops.Padding2D, 3: ops.Padding3D}
+    unpads = {1: ops.UnPadding1D, 2: ops.UnPadding2D, 3: ops.UnPadding3D}
+    for trial in range(20):
+        ndim = int(rng.integers(1, 4))
+        n = int(rng.integers(4, 20))
+        group = int(rng.integers(1, min(n, 6) + 1))
+        mode = ["sample", "oracle"][trial % 2]
+        data = _rand_list(rng, n, ndim, 2, 9)
+        res = pads[ndim](data, group=group, group_mode=mode,
+                         rng=np.random.default_rng(trial))
+        if group == 1:
+            xs, masks, shapes = [res[0]], [res[1]], [res[2]]
+        else:
+            xs, masks, shapes = res
+        total = sum(x.shape[0] for x in xs)
+        assert total == n, (trial, total, n)
+        out = unpads[ndim](list(xs), list(shapes))
+        got = sorted(tuple(np.asarray(t).ravel().tolist()) for t in out)
+        want = sorted(tuple(np.asarray(t).ravel().tolist()) for t in data)
+        assert got == want, trial
+
+
 def test_padding_2d_3d_shapes():
     rng = np.random.default_rng(5)
     d2 = _rand_list(rng, 6, 2, 3, 8)
