@@ -42,10 +42,10 @@ def _pick_blk(T: int, B: int) -> int:
     return max(blk, 128)
 
 
-def _doubling(aa, bb, reverse: bool):
-    """In-VMEM doubling scan; returns (composed a = scan result with zero
-    init, composed b = full prefix/suffix products per row)."""
-    T, blk = aa.shape
+def _scan_kernel(a_ref, b_ref, out_ref, *, T: int, reverse: bool):
+    aa = a_ref[:]
+    bb = b_ref[:]
+    blk = aa.shape[1]
     k = 1
     while k < T:
         if reverse:
@@ -63,33 +63,7 @@ def _doubling(aa, bb, reverse: bool):
         aa = aa + bb * a_sh
         bb = bb * b_sh
         k *= 2
-    return aa, bb
-
-
-# Two-level chunking: doubling within C-row chunks (log2(C) short-shift
-# passes over 1/nchunks of the tile) + a sequential carry across chunks.
-# Cuts VPU work ~log2(T)/log2(C) vs whole-tile doubling.
-_CHUNK = 128
-
-
-def _scan_kernel(a_ref, b_ref, out_ref, *, T: int, reverse: bool):
-    aa = a_ref[:]
-    bb = b_ref[:]
-    blk = aa.shape[1]
-
-    if T <= 2 * _CHUNK:
-        out_ref[:] = _doubling(aa, bb, reverse)[0]
-        return
-
-    bounds = list(range(0, T, _CHUNK)) + [T]
-    chunks = list(zip(bounds[:-1], bounds[1:]))
-    order = reversed(chunks) if reverse else chunks
-    carry = jnp.zeros((1, blk), aa.dtype)
-    for lo, hi in order:
-        y_c, bprod_c = _doubling(aa[lo:hi], bb[lo:hi], reverse)
-        y = y_c + bprod_c * carry
-        out_ref[lo:hi, :] = y
-        carry = y[0:1] if reverse else y[hi - lo - 1:hi - lo]
+    out_ref[:] = aa
 
 
 @functools.partial(jax.jit, static_argnames=("reverse",))

@@ -36,9 +36,11 @@ from di_hpc_tpu.pallas_kernels import linear_scan as _ls
 # is severed by a downstream stop_gradient.
 
 
-def _doubling_suffix(aa: jax.Array, bb: jax.Array):
-    """Doubling suffix composition; returns (scan result with zero terminal,
-    per-row suffix b-products)."""
+def _suffix_scan(aa: jax.Array, bb: jax.Array) -> jax.Array:
+    """In-VMEM suffix composition: y[t] = a[t] + b[t] * y[t+1], y[T] = 0.
+
+    bb may be (T, 1) (row-constant coefficients, cheaper shifts) or match aa.
+    """
     T = aa.shape[0]
     k = 1
     while k < T:
@@ -47,33 +49,7 @@ def _doubling_suffix(aa: jax.Array, bb: jax.Array):
         aa = aa + bb * a_sh
         bb = bb * b_sh
         k *= 2
-    return aa, bb
-
-
-_CHUNK = 128
-
-
-def _suffix_scan(aa: jax.Array, bb: jax.Array) -> jax.Array:
-    """In-VMEM suffix composition: y[t] = a[t] + b[t] * y[t+1], y[T] = 0.
-
-    bb may be (T, 1) (row-constant coefficients, cheaper shifts) or match aa.
-    For long T, doubling runs within 128-row chunks with a sequential carry
-    across chunks (fewer and shorter VPU shift passes than whole-tile
-    doubling).
-    """
-    T = aa.shape[0]
-    if T <= 2 * _CHUNK:
-        return _doubling_suffix(aa, bb)[0]
-    bounds = list(range(0, T, _CHUNK)) + [T]
-    pieces = [None] * (len(bounds) - 1)
-    carry = jnp.zeros((1,) + aa.shape[1:], aa.dtype)
-    for idx in reversed(range(len(bounds) - 1)):
-        lo, hi = bounds[idx], bounds[idx + 1]
-        y_c, bprod_c = _doubling_suffix(aa[lo:hi], bb[lo:hi])
-        y = y_c + bprod_c * carry
-        pieces[idx] = y
-        carry = y[0:1]
-    return jnp.concatenate(pieces, axis=0)
+    return aa
 
 
 def _pick_blk(T: int, B: int, n_bufs: int) -> int:

@@ -55,26 +55,6 @@ def test_vtrace_returns_adv_kernel(interpret, key):
     np.testing.assert_allclose(got_adv, want_adv, rtol=1e-4, atol=1e-5)
 
 
-def test_fused_kernels_long_T_chunked(interpret, key):
-    """T > 2*chunk exercises the two-level chunked suffix scan in every
-    fused kernel (including a ragged final chunk)."""
-    from di_hpc_tpu.pallas_kernels.rl_scans import (
-        gae_fused_pallas, lambda_returns_pallas,
-    )
-    T, B = 300, 136
-    k1, k2 = jax.random.split(key)
-    value = jax.random.normal(k1, (T + 1, B))
-    reward = jax.random.normal(k2, (T, B))
-    np.testing.assert_allclose(
-        gae_fused_pallas(value, reward, 0.99, 0.97),
-        origin.gae(origin.gae_data(value, reward), 0.99, 0.97),
-        rtol=2e-4, atol=2e-5)
-    np.testing.assert_allclose(
-        lambda_returns_pallas(value, reward, 0.9, 0.8),
-        origin.generalized_lambda_returns(value, reward, 0.9, 0.8),
-        rtol=2e-4, atol=2e-5)
-
-
 def test_categorical_kernel_forward(interpret, key):
     from di_hpc_tpu.pallas_kernels.categorical import logp_entropy_pallas
     from di_hpc_tpu.origin.ppo import categorical_entropy, categorical_log_prob
