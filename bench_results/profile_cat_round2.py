@@ -44,11 +44,14 @@ def _fwd_v4(x_ref, a_ref, ones_ref, logp_ref, ent_ref, lse_ref):
     masked = jnp.where(col == a, x, 0.0)
     # Sum-reductions on the MXU (idle otherwise); VPU only does elementwise.
     s = jax.lax.dot_general(e, ones, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     sx = jax.lax.dot_general(e * x, ones, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
     xa = jax.lax.dot_general(masked, ones, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
     lse = m + jnp.log(s)
     ent = lse - sx / s
     logp_ref[:] = xa - lse

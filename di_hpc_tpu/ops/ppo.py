@@ -3,11 +3,11 @@
 The reference hand-fuses categorical log-prob/entropy + surrogate clipping +
 value clip + monitor stats + grad stashes into two CUDA kernels
 (include/hpc/rll/cuda/rl_utils/ppo_kernel.h:12-242).  The TPU version uses
-the single-pass Pallas categorical head (di_hpc_tpu.pallas_kernels.
-categorical — one HBM read of the new logits yields log-prob, entropy, and a
-recompute backward) plus XLA fusion for the purely elementwise surrogate /
-value-clip arithmetic; JAX autodiff reproduces the hand-derived backward,
-including the dual-clip subgradient choices.
+the fused categorical head (di_hpc_tpu.ops.categorical — one XLA-fused pass
+over the new logits yields log-prob + entropy, with a stash-free recompute
+backward) plus XLA fusion for the purely elementwise surrogate / value-clip
+arithmetic; JAX autodiff reproduces the hand-derived backward, including the
+dual-clip subgradient choices.
 """
 
 from __future__ import annotations

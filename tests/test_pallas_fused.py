@@ -1,5 +1,6 @@
-"""Fully-fused Pallas kernels (rl_scans, categorical) via interpret mode,
-including custom-VJP parity with jnp autodiff and end-to-end fused-op routing."""
+"""Fully-fused Pallas kernels (rl_scans) via interpret mode, including
+end-to-end fused-op routing.  (The categorical head is plain jnp — see
+tests/test_categorical.py.)"""
 
 import jax
 import jax.numpy as jnp
@@ -55,67 +56,6 @@ def test_vtrace_returns_adv_kernel(interpret, key):
     np.testing.assert_allclose(got_adv, want_adv, rtol=1e-4, atol=1e-5)
 
 
-def test_categorical_kernel_forward(interpret, key):
-    from di_hpc_tpu.pallas_kernels.categorical import logp_entropy_pallas
-    from di_hpc_tpu.origin.ppo import categorical_entropy, categorical_log_prob
-    T, B, N = 6, 24, 17
-    k1, k2 = jax.random.split(key)
-    logits = jax.random.normal(k1, (T, B, N)) * 3
-    act = jax.random.randint(k2, (T, B), 0, N)
-    lp, ent = logp_entropy_pallas(logits, act)
-    np.testing.assert_allclose(lp, categorical_log_prob(logits, act),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(ent, categorical_entropy(logits),
-                               rtol=1e-4, atol=1e-5)
-
-
-def test_categorical_kernel_vjp(interpret, key):
-    from di_hpc_tpu.pallas_kernels.categorical import logp_entropy_pallas
-    from di_hpc_tpu.origin.ppo import categorical_entropy, categorical_log_prob
-    B, N = 40, 13
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    logits = jax.random.normal(k1, (B, N)) * 2
-    act = jax.random.randint(k2, (B,), 0, N)
-    wl = jax.random.normal(k3, (B,))
-    we = jax.random.normal(k4, (B,))
-
-    def f_pallas(x):
-        lp, ent = logp_entropy_pallas(x, act)
-        return jnp.sum(lp * wl) + jnp.sum(ent * we)
-
-    def f_jnp(x):
-        return (jnp.sum(categorical_log_prob(x, act) * wl)
-                + jnp.sum(categorical_entropy(x) * we))
-
-    np.testing.assert_allclose(f_pallas(logits), f_jnp(logits), rtol=1e-4)
-    g_p = jax.grad(f_pallas)(logits)
-    g_j = jax.grad(f_jnp)(logits)
-    np.testing.assert_allclose(g_p, g_j, rtol=1e-4, atol=1e-5)
-
-
-def test_categorical_kernel_bf16(interpret, key):
-    """bf16 logits: f32 math in VMEM, f32 logp/entropy, bf16 gradient."""
-    from di_hpc_tpu.pallas_kernels.categorical import logp_entropy_pallas
-    from di_hpc_tpu.origin.ppo import categorical_entropy, categorical_log_prob
-    B, N = 32, 21
-    k1, k2 = jax.random.split(key)
-    logits = jax.random.normal(k1, (B, N), jnp.bfloat16)
-    act = jax.random.randint(k2, (B,), 0, N)
-    lp, ent = logp_entropy_pallas(logits, act)
-    assert lp.dtype == jnp.float32
-    ref_lp = categorical_log_prob(logits.astype(jnp.float32), act)
-    ref_ent = categorical_entropy(logits.astype(jnp.float32))
-    np.testing.assert_allclose(lp, ref_lp, rtol=2e-2, atol=2e-2)
-    np.testing.assert_allclose(ent, ref_ent, rtol=2e-2, atol=2e-2)
-    g = jax.grad(lambda x: jnp.sum(logp_entropy_pallas(x, act)[0]))(logits)
-    assert g.dtype == jnp.bfloat16
-    g_ref = jax.grad(lambda x: jnp.sum(
-        categorical_log_prob(x.astype(jnp.float32), act)))(logits)
-    np.testing.assert_allclose(np.asarray(g, np.float32),
-                               np.asarray(g_ref, np.float32),
-                               rtol=5e-2, atol=2e-2)
-
-
 def test_fused_ops_route_through_kernels(interpret, key):
     """End-to-end: ops.* with interpret-forced Pallas backends match oracles
     (fresh shapes to avoid earlier jit cache entries from the non-fused path)."""
@@ -160,3 +100,38 @@ def test_fused_ppo_routes(interpret, key):
     g_o = jax.grad(lambda x: origin.ppo_error(
         origin.ppo_data(x, lo, act, vn, vo, adv, ret, None))[0].policy_loss)(ln)
     np.testing.assert_allclose(g_f, g_o, rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_layer_kernel_routing(interpret, key):
+    """lstm_fused routes through the whole-layer Pallas kernel (H a lane
+    multiple) and matches the origin oracle, forward and gradients."""
+    from di_hpc_tpu.network.lstm import lstm_fused
+    from di_hpc_tpu.origin.rnn import init_lstm_params, lstm
+    from di_hpc_tpu.pallas_kernels import lstm_cell
+
+    S, B, I, H, L = 8, 4, 24, 128, 2
+    assert lstm_cell.supports(S, B, H, jnp.float32)
+    params = init_lstm_params(key, I, H, L, "LN")
+    ks = jax.random.split(key, 3)
+    x = jax.random.normal(ks[0], (S, B, I))
+    h0 = jax.random.normal(ks[1], (L, B, H))
+    c0 = jax.random.normal(ks[2], (L, B, H))
+
+    y_ref, (hn_ref, cn_ref) = lstm(params, x, (h0, c0), "LN")
+    y, (hn, cn) = lstm_fused(params, x, (h0, c0), "LN")
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(hn, hn_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(cn, cn_ref, rtol=1e-4, atol=1e-5)
+
+    def loss_fused(p):
+        out, (h, c) = lstm_fused(p, x, (h0, c0), "LN")
+        return jnp.sum(out ** 2) + jnp.sum(h) + jnp.sum(c * 0.5)
+
+    def loss_ref(p):
+        out, (h, c) = lstm(p, x, (h0, c0), "LN")
+        return jnp.sum(out ** 2) + jnp.sum(h) + jnp.sum(c * 0.5)
+
+    g_f = jax.grad(loss_fused)(params)
+    g_r = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-4)
