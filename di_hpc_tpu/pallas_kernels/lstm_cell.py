@@ -138,16 +138,6 @@ def _layer_impl(gx, wh, gln, bln, h0, c0, norm: bool):
     return y, c_seq, hn, cn
 
 
-def _cell_jnp(h, c, gx_t, wh, gln, bln, norm: bool):
-    """Pure-jnp single step (identical math to the kernel) for the VJP."""
-    gh = h @ wh
-    if norm:
-        gh = _ln(gh, gln, bln)
-    gate = gx_t + gh
-    H = h.shape[-1]
-    return _gates(gate, c, H)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def lstm_layer_fused(gx, wh, gln, bln, h0, c0, norm: bool = True):
     """One LSTM layer over a full sequence, time loop fused on-chip.
@@ -170,28 +160,143 @@ def _layer_fwd(gx, wh, gln, bln, h0, c0, norm: bool):
     return (y, hn, cn), (gx, wh, gln, bln, h0, c0, y, c_seq)
 
 
+def _bwd_kernel(gx_ref, ghp_ref, cprev_ref, cseq_ref, dy_ref, wh_ref,
+                gln_ref, bln_ref, dhn_ref, dcn_ref,
+                dgx_ref, dgpre_ref, dh0_ref, dc0_ref, dh_scr, dc_scr,
+                *, H: int, norm: bool):
+    """Hand-derived reverse step, whole reverse loop on-chip.
+
+    The TPU analogue of the reference's LstmBackward (lstm.cu:188-379,
+    activation_backward + layernorm_backward kernels): Wh stays resident in
+    VMEM and the (dh, dc) carry lives in scratch.  Weight gradients are NOT
+    accumulated in-kernel: the per-step d(gate) and d(gh_pre) stream out,
+    and dWh / dgamma / dbeta become sequence-wide MXU/VPU reductions outside
+    (one big GEMM beats S tiny rank-B updates, and revisited-output
+    accumulation is not portable to interpret mode).
+    """
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init_carry():
+        dh_scr[:] = dhn_ref[:]
+        dc_scr[:] = dcn_ref[:]
+
+    # Recompute the forward's post-GEMM intermediates for step t = S-1-s.
+    gh_pre = ghp_ref[0]                           # (blk, 4H)
+    if norm:
+        mean = jnp.mean(gh_pre, axis=-1, keepdims=True)
+        var = jnp.mean((gh_pre - mean) ** 2, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + LAYERNORM_EPS)
+        xhat = (gh_pre - mean) * rstd
+        gh = xhat * gln_ref[:] + bln_ref[:]
+    else:
+        gh = gh_pre
+    gate = gx_ref[0] + gh
+    si = jax.nn.sigmoid(gate[:, :H])
+    sf = jax.nn.sigmoid(gate[:, H:2 * H])
+    so = jax.nn.sigmoid(gate[:, 2 * H:3 * H])
+    su = jnp.tanh(gate[:, 3 * H:])
+    c_prev = cprev_ref[0]
+    tc = jnp.tanh(cseq_ref[0])                    # tanh(c_t)
+
+    # Cell backward.
+    dh = dh_scr[:] + dy_ref[0]
+    dc = dc_scr[:] + dh * so * (1.0 - tc * tc)
+    dgate = jnp.concatenate([
+        (dc * su) * si * (1.0 - si),
+        (dc * c_prev) * sf * (1.0 - sf),
+        (dh * tc) * so * (1.0 - so),
+        (dc * si) * (1.0 - su * su),
+    ], axis=-1)                                   # (blk, 4H)
+    dgx_ref[0] = dgate
+
+    # LayerNorm backward (feature axis = 4H lanes).
+    if norm:
+        dxhat = dgate * gln_ref[:]
+        m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+        m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dg_pre = rstd * (dxhat - m1 - xhat * m2)
+    else:
+        dg_pre = dgate
+    dgpre_ref[0] = dg_pre
+
+    # Carry to step t-1: dh via Wh^T (MXU), dc via the forget gate.
+    dh_scr[:] = jax.lax.dot_general(
+        dg_pre, wh_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=None)
+    dc_scr[:] = dc * sf
+    # Last write (t = 0) wins: these constant-index blocks flush at grid end.
+    dh0_ref[:] = dh_scr[:]
+    dc0_ref[:] = dc_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("norm",))
+def _bwd_impl(gx, gh_pre_seq, c_prev, c_seq, dy, wh, gln, bln, dhn, dcn,
+              norm: bool):
+    S, B, H4 = gx.shape
+    H = H4 // 4
+    blk = _pick_blk_b(B, H)
+    kernel = functools.partial(_bwd_kernel, H=H, norm=norm)
+    rev = lambda b, s: (S - 1 - s, b, 0)
+    const_b = lambda b, s: (b, 0)
+    full = lambda b, s: (0, 0)
+    seq4 = pl.BlockSpec((1, blk, H4), rev, memory_space=pltpu.VMEM)
+    seq1 = pl.BlockSpec((1, blk, H), rev, memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((blk, H), const_b, memory_space=pltpu.VMEM)
+    vec4 = pl.BlockSpec((1, H4), full, memory_space=pltpu.VMEM)
+    dgx, dg_pre_seq, dh0, dc0 = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((S, B, H4), gx.dtype),
+                   jax.ShapeDtypeStruct((S, B, H4), gx.dtype),
+                   jax.ShapeDtypeStruct((B, H), gx.dtype),
+                   jax.ShapeDtypeStruct((B, H), gx.dtype)),
+        grid=(pl.cdiv(B, blk), S),
+        in_specs=[seq4, seq4, seq1, seq1, seq1,
+                  pl.BlockSpec((H, H4), full, memory_space=pltpu.VMEM),
+                  vec4, vec4, state_spec, state_spec],
+        out_specs=(seq4, seq4, state_spec, state_spec),
+        scratch_shapes=[pltpu.VMEM((blk, H), jnp.float32),
+                        pltpu.VMEM((blk, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * S * B * H * H4,
+            bytes_accessed=(5 * S * B * H4 + 4 * S * B * H + H * H4) * 4,
+            transcendentals=5 * S * B * H,
+        ),
+        interpret=_ls.INTERPRET,
+    )(gx, gh_pre_seq, c_prev, c_seq, dy, wh,
+      gln.reshape(1, H4), bln.reshape(1, H4), dhn, dcn)
+    return dgx, dg_pre_seq, dh0, dc0
+
+
 def _layer_bwd(norm: bool, res, ct):
+    """Backward via the on-chip reverse-loop kernel.
+
+    The recompute of gh_pre = h_prev @ Wh is one sequence-wide MXU GEMM
+    (mirroring the forward's hoisted x @ Wx); the kernel then runs the
+    whole reverse time loop in VMEM, accumulating dWh / LN-param grads
+    on-chip.  (A pure-jnp lax.scan version of this backward measured
+    ~415us at the reference config vs ~150us forward — per-step XLA loop
+    overhead, not math, dominates; hence the kernel.)
+    """
     gx, wh, gln, bln, h0, c0, y, c_seq = res
     dy, dhn, dcn = ct
-    S = gx.shape[0]
     # h_prev/c_prev per step: state BEFORE step t.
     h_prev = jnp.concatenate([h0[None], y[:-1]], axis=0)
     c_prev = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
+    gh_pre_seq = jnp.einsum("sbh,hg->sbg", h_prev, wh)
 
-    def rstep(carry, xs):
-        dh, dc, dwh, dgln, dbln = carry
-        gx_t, hp, cp, dy_t = xs
-        dh = dh + dy_t
-        _, pull = jax.vjp(
-            lambda hp_, cp_, g_, w_, ga_, be_: _cell_jnp(hp_, cp_, g_, w_, ga_, be_, norm),
-            hp, cp, gx_t, wh, gln, bln)
-        dhp, dcp, dgx_t, dwh_t, dgln_t, dbln_t = pull((dh, dc))
-        return (dhp, dcp, dwh + dwh_t, dgln + dgln_t, dbln + dbln_t), dgx_t
-
-    zeros = (jnp.zeros_like(wh), jnp.zeros_like(gln), jnp.zeros_like(bln))
-    (dh0, dc0, dwh, dgln, dbln), dgx = jax.lax.scan(
-        rstep, (dhn, dcn) + zeros, (gx, h_prev, c_prev, dy), reverse=True)
-    if not norm:
+    dgx, dg_pre_seq, dh0, dc0 = _bwd_impl(
+        gx, gh_pre_seq, c_prev, c_seq, dy, wh, gln, bln, dhn, dcn, norm)
+    dwh = jnp.einsum("sbh,sbg->hg", h_prev, dg_pre_seq)
+    if norm:
+        # xhat recomputed sequence-wide (one fused elementwise+reduce pass
+        # over (S, B, 4H)); dgamma = sum(dgate * xhat), dbeta = sum(dgate).
+        mean = jnp.mean(gh_pre_seq, axis=-1, keepdims=True)
+        var = jnp.mean((gh_pre_seq - mean) ** 2, axis=-1, keepdims=True)
+        xhat = (gh_pre_seq - mean) * jax.lax.rsqrt(var + LAYERNORM_EPS)
+        dgln = jnp.sum(dgx * xhat, axis=(0, 1)).astype(gln.dtype)
+        dbln = jnp.sum(dgx, axis=(0, 1)).astype(bln.dtype)
+    else:
         dgln = jnp.zeros_like(gln)
         dbln = jnp.zeros_like(bln)
     return dgx, dwh, dgln, dbln, dh0, dc0
