@@ -160,7 +160,17 @@ def main():
         if _remaining() < est_s:
             _log(f"  [skip] {label}: {_remaining():.0f}s budget left < est {est_s}s")
             return
-        details[key_name] = bench_op(label, naive, fused, **kw)
+        try:
+            details[key_name] = bench_op(label, naive, fused, **kw)
+        except Exception as e:  # noqa: BLE001
+            # The tunneled remote-compile service drops connections under
+            # load; a failed stage must not kill the whole bench (the driver
+            # consumes the JSON line).  Retry once, then move on.
+            _log(f"  [retry] {label}: {type(e).__name__}: {e}")
+            try:
+                details[key_name] = bench_op(label, naive, fused, **kw)
+            except Exception as e2:  # noqa: BLE001
+                _log(f"  [fail] {label}: {type(e2).__name__}: {e2}")
 
     # ----- GAE / TD(lambda): BASELINE config T=1024, B=4096 -----
     T, B = 1024, 4096
@@ -357,4 +367,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        # Whatever happens (stage crash, tunnel failure), the driver always
+        # gets the one JSON result line with the stages that completed.
+        _emit_result_and_exit(exit_code=None)
