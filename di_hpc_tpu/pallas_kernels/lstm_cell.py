@@ -16,10 +16,11 @@ gx = LN_x(x @ Wx) + bias (one large MXU GEMM done by XLA outside — the same
 hoist the reference does, lstm.cu:121-123).
 
 Gradients: `lstm_layer_fused` carries a custom VJP whose backward is a
-reverse `lax.scan` over per-step `jax.vjp` pullbacks of the (pure-jnp) cell,
-reading the stashed h/c sequences — the TPU analogue of the reference's
-hand-derived LstmBackward (lstm.cu:188-379) that re-uses stashed ifog
-activations instead of re-running the forward.
+second on-chip reverse-loop kernel (hand-derived cell + LayerNorm backward,
+reading the stashed h/c sequences) — the TPU analogue of the reference's
+hand-derived LstmBackward (lstm.cu:188-379).  Weight gradients fall out as
+sequence-wide reductions AFTER the kernel: one h_prev^T @ d(gh_pre) MXU GEMM
+for dWh, mirroring the forward's hoisted x @ Wx.
 """
 
 from __future__ import annotations
@@ -273,10 +274,11 @@ def _layer_bwd(norm: bool, res, ct):
 
     The recompute of gh_pre = h_prev @ Wh is one sequence-wide MXU GEMM
     (mirroring the forward's hoisted x @ Wx); the kernel then runs the
-    whole reverse time loop in VMEM, accumulating dWh / LN-param grads
-    on-chip.  (A pure-jnp lax.scan version of this backward measured
-    ~415us at the reference config vs ~150us forward — per-step XLA loop
-    overhead, not math, dominates; hence the kernel.)
+    whole reverse time loop in VMEM, streaming out per-step d(gate) and
+    d(gh_pre), from which dWh and the LN-param grads are sequence-wide
+    reductions here.  (A pure-jnp lax.scan version of this backward
+    measured ~415us at the reference config vs ~150us forward — per-step
+    XLA loop overhead, not math, dominates; hence the kernel.)
     """
     gx, wh, gln, bln, h0, c0, y, c_seq = res
     dy, dhn, dcn = ct

@@ -150,3 +150,40 @@ def test_sequence_mask():
     m = origin.sequence_mask(jnp.array([1, 3, 0]), max_len=4)
     want = np.array([[1, 0, 0, 0], [1, 1, 1, 0], [0, 0, 0, 0]], bool)
     np.testing.assert_array_equal(np.asarray(m), want)
+
+
+def test_lane_multiple_h_matches_oracle_f32(key):
+    """H=128 (lane multiple): on a real TPU this routes through the
+    whole-layer Pallas kernel (pallas_kernels/lstm_cell.py); on CPU it takes
+    the scan path — either way it must match the oracle under one matmul
+    precision (the recurrence is chaotic, so bf16-vs-f32 comparisons
+    diverge; see CLAUDE.md)."""
+    S, B, I, H, L = 16, 4, 24, 128, 2
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = origin.init_lstm_params(k1, I, H, L, "LN")
+    x = jax.random.normal(k2, (S, B, I))
+    h0 = jax.random.normal(k3, (L, B, H)) * 0.1
+    state = (h0, jnp.zeros_like(h0))
+
+    with jax.default_matmul_precision("float32"):
+        y0, (ho, co) = jax.jit(
+            lambda p, xx: origin.lstm(p, xx, state, "LN"))(params, x)
+        y1, (hf, cf) = jax.jit(
+            lambda p, xx: network.lstm_fused(p, xx, state, "LN"))(params, x)
+
+        def loss_f(p):
+            y, (h, c) = network.lstm_fused(p, x, state, "LN")
+            return jnp.sum(y ** 2) + jnp.sum(h * c)
+
+        def loss_o(p):
+            y, (h, c) = origin.lstm(p, x, state, "LN")
+            return jnp.sum(y ** 2) + jnp.sum(h * c)
+
+        gf = jax.jit(jax.grad(loss_f))(params)
+        go = jax.jit(jax.grad(loss_o))(params)
+
+    np.testing.assert_allclose(y1, y0, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(hf, ho, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(cf, co, rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(go)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
