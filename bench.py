@@ -293,6 +293,41 @@ def main():
         est_s=60, K=4000,
     )
 
+    # ----- C51 distributional TD: reference config B=128 N=128 atoms=51 -----
+    Bd, Nd, n_atom, nstep_d = 128, 128, 51, 10
+    kd = jax.random.split(jax.random.PRNGKey(6), 6)
+    d_dist = jax.nn.softmax(jax.random.normal(kd[0], (Bd, Nd, n_atom)), -1)
+    d_next = jax.nn.softmax(jax.random.normal(kd[1], (Bd, Nd, n_atom)), -1)
+    d_act = jax.random.randint(kd[2], (Bd,), 0, Nd)
+    d_nact = jax.random.randint(kd[3], (Bd,), 0, Nd)
+    d_rew = jax.random.normal(kd[4], (nstep_d, Bd))
+    d_done = jax.random.uniform(kd[5], (Bd,)) > 0.9
+
+    def dntd_train_step(fn):
+        def loss(dist_, rew_):
+            l, td = fn(origin.dist_nstep_td_data(
+                dist_, d_next, d_act, d_nact, rew_, d_done, None),
+                0.95, -10.0, 10.0, n_atom, nstep_d)
+            return l, td
+
+        def step(carry, init=False):
+            # Perturb BOTH dist and reward: the categorical projection
+            # depends only on reward, and a loop-invariant projection gets
+            # hoisted out of the fori_loop, under-measuring the op.
+            x = d_dist if init else d_dist + carry * 1e-12
+            r = d_rew if init else d_rew + carry * 1e-12
+            # Realistic training use: loss grad + per-sample td (priorities).
+            (v, td), g = jax.value_and_grad(loss, has_aux=True)(x, r)
+            return v * 1e-12 + jnp.sum(td) * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
+        return step
+
+    run_stage(
+        "dntd_grad_B128_N128_atoms51", "c51+grad B=128 N=128",
+        dntd_train_step(origin.dist_nstep_td_error),
+        dntd_train_step(ops.dist_nstep_td_error),
+        est_s=50, K=2000,
+    )
+
     # ----- LSTM: reference config seq=64, B=3, in=1792, hid=384, L=3 -----
     S, Bl, I, H, L = 64, 3, 1792, 384, 3
     kp, kx = jax.random.split(jax.random.PRNGKey(2))

@@ -111,10 +111,70 @@ q_nstep_td_error_with_rescale = jax.jit(
     _origin_td.q_nstep_td_error_with_rescale,
     static_argnames=("gamma", "nstep", "criterion", "trans_fn", "inv_trans_fn"),
 )
-dist_nstep_td_error = jax.jit(
-    _origin_td.dist_nstep_td_error,
-    static_argnames=("gamma", "v_min", "v_max", "n_atom", "nstep"),
-)
+def _gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """x (B, N, A) -> x[b, idx[b], :] (B, A) via iota-compare-sum.
+
+    take_along_axis lowers to a dynamic gather, which serializes on TPU
+    (measured 137us for the whole C51 op vs 23us with this formulation at
+    B=128, N=128, n_atom=51 — bench_results/profile_dist_td.py)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape[:2], 1)
+    mask = (col == idx[:, None])[..., None]
+    return jnp.sum(jnp.where(mask, x, 0.0), axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gamma", "v_min", "v_max", "n_atom", "nstep"))
+def dist_nstep_td_error(
+    data: dist_nstep_td_data,
+    gamma: float,
+    v_min: float,
+    v_max: float,
+    n_atom: int,
+    nstep: int = 1,
+):
+    """C51 distributional n-step TD (fused, scatter-free).
+
+    Same math and edge cases as the oracle (origin/td.py:202-251, itself
+    mirroring reference origin/td.py:29-143 including the integer-landing
+    mass drop), but the categorical projection is computed WITHOUT a
+    scatter: XLA scatters serialize on TPU (the reference uses atomicAdd,
+    dist_nstep_td_kernel.h:58-59).  Instead, build the per-sample projection
+    matrix M[b, i, j] = (u_i - b_i)*1[l_i == j] + (b_i - l_i)*1[u_i == j]
+    with iota comparisons and reduce over i — dense VPU work, deterministic,
+    and 6x/100x faster forward/backward at the reference config.
+    """
+    dist, next_n_dist, act, next_n_act, reward, done, weight = data
+    B = act.shape[0]
+    r = _origin_td._discounted_reward_sum(reward, gamma)[:, None]  # (B, 1)
+    done_f = done.astype(dist.dtype)[:, None]
+    support = jnp.linspace(v_min, v_max, n_atom, dtype=dist.dtype)
+    delta_z = (v_max - v_min) / (n_atom - 1)
+    if weight is None:
+        weight = jnp.ones_like(r)
+    weight = jnp.asarray(weight)
+    if weight.ndim == 1:
+        weight = weight[:, None]
+
+    next_dist = jax.lax.stop_gradient(_gather_rows(next_n_dist, next_n_act))
+
+    target_z = jnp.clip(r + (1.0 - done_f) * (gamma ** nstep) * support,
+                        v_min, v_max)
+    b = (target_z - v_min) / delta_z
+    l = jnp.floor(b).astype(jnp.int32)
+    u = jnp.ceil(b).astype(jnp.int32)
+    j = jax.lax.broadcasted_iota(jnp.int32, (B, n_atom, n_atom), 2)
+    wl = (next_dist * (u.astype(b.dtype) - b))[:, :, None]
+    wu = (next_dist * (b - l.astype(b.dtype)))[:, :, None]
+    proj = jnp.sum(jnp.where(j == l[:, :, None], wl, 0.0)
+                   + jnp.where(j == u[:, :, None], wu, 0.0), axis=1)
+
+    dist_s_a = _gather_rows(dist, act)                          # (B, n_atom)
+    log_p = jnp.log(dist_s_a)
+    td_error_per_sample = -jnp.sum(log_p * proj, axis=-1)
+    loss = -jnp.mean(jnp.sum(log_p * proj * weight, axis=-1))
+    return loss, td_error_per_sample
+
+
 qrdqn_nstep_td_error = jax.jit(
     _origin_td.qrdqn_nstep_td_error, static_argnames=("gamma", "nstep")
 )
