@@ -2,11 +2,23 @@
 
 The reference splits this into cover/add CUDA kernels with a gather backward
 (src/torch_utils/network/scatter_connection.cu, scatter_connection_kernel.h).
-On TPU both modes compile to deterministic XLA scatter/gather; 'add' is
-natively differentiable, and 'cover' gets a custom VJP matching the
-reference's backward (gather grad_out at each entity's location; on
-collisions every colliding entity reads the same grad — the documented
-approximation of scatter_connection_kernel.h:91-106).
+XLA's scatter/gather lowering serializes on TPU, so the fused path computes
+both modes as ONE-HOT MXU CONTRACTIONS instead (measured at the reference
+config B=M=N=256, H=W=16: add 1379 -> 145us, cover 731 -> 158us —
+bench_results/profile_scatter.py):
+
+ - 'add':   out[b,hw,:] = sum_m 1[cell_bm == hw] * x[b,m,:]   (einsum, f32)
+ - 'cover': winner[b,hw] = max_m (cell_bm == hw ? m : -1), then the winning
+   entity is selected by a second one-hot einsum — deterministic
+   last-writer-by-entity-index (the reference's GPU cover mode is admittedly
+   nondeterministic, tests/test_scatter.py:17).
+
+Both einsums run at HIGHEST precision (f32-exact products; default bf16
+rounding would show up as ~1e-2 error against the oracle).  The custom VJP
+matches the reference's backward: every entity reads grad_out at its own
+location (exact for 'add'; for 'cover' collisions this double-reads — the
+documented approximation of scatter_connection_kernel.h:91-106) — also an
+MXU contraction here.
 """
 
 from __future__ import annotations
@@ -21,27 +33,69 @@ from di_hpc_tpu.origin.scatter_connection import scatter_connection as _scatter_
 
 __all__ = ["scatter_connection", "ScatterConnection"]
 
+# One-hot tensor budget: (B, M, HW) f32 materialized for the MXU contraction.
+_ONEHOT_BUDGET_BYTES = 1 * 1024 * 1024 * 1024
+
+
+def _matmul_path_ok(B: int, M: int, HW: int) -> bool:
+    return B * M * HW * 4 <= _ONEHOT_BUDGET_BYTES
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))
 def scatter_connection(x: jax.Array, spatial_size: Tuple[int, int],
                        location: jax.Array, scatter_type: str = "cover") -> jax.Array:
     """(B, M, N) entities + (B, M, 2) (y, x) locations -> (B, N, H, W)."""
-    return _scatter_oracle(x, spatial_size, location, scatter_type)
+    return _scatter_impl(x, spatial_size, location, scatter_type)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_size", "scatter_type"))
+def _scatter_impl(x, spatial_size, location, scatter_type):
+    assert scatter_type in ("cover", "add"), scatter_type
+    B, M, N = x.shape
+    H, W = spatial_size
+    HW = H * W
+    if not _matmul_path_ok(B, M, HW):
+        return _scatter_oracle(x, spatial_size, location, scatter_type)
+
+    cell = location[..., 0] * W + location[..., 1]            # (B, M)
+    hw = jax.lax.broadcasted_iota(jnp.int32, (B, M, HW), 2)
+    hit = hw == cell[..., None]                               # (B, M, HW)
+    if scatter_type == "add":
+        sel = hit
+    else:
+        m_ids = jnp.arange(M, dtype=jnp.int32)[None, :, None]
+        winner = jnp.max(jnp.where(hit, m_ids, -1), axis=1)   # (B, HW)
+        sel = m_ids == winner[:, None, :]                     # one (or zero) m per cell
+    out = jnp.einsum("bmh,bmn->bhn", sel.astype(x.dtype), x,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(B, H, W, N).transpose(0, 3, 1, 2)
 
 
 def _fwd(x, spatial_size, location, scatter_type):
     return scatter_connection(x, spatial_size, location, scatter_type), location
 
 
-def _bwd(spatial_size, scatter_type, location, g):
+@functools.partial(jax.jit, static_argnames=("spatial_size",))
+def _bwd_impl(spatial_size, location, g):
     # g: (B, N, H, W).  Every entity reads the gradient at its own location —
     # exact for 'add'; for 'cover' collisions this double-counts, matching the
     # reference kernel and its origin oracle under autograd.
     H, W = spatial_size
-    g_flat = g.transpose(0, 2, 3, 1).reshape(g.shape[0], H * W, g.shape[1])  # (B, HW, N)
-    cell = location[..., 0] * W + location[..., 1]                           # (B, M)
-    dx = jnp.take_along_axis(g_flat, cell[..., None], axis=1)                # (B, M, N)
-    return (dx, None)
+    B, N = g.shape[0], g.shape[1]
+    HW = H * W
+    g_flat = g.transpose(0, 2, 3, 1).reshape(B, HW, N)        # (B, HW, N)
+    cell = location[..., 0] * W + location[..., 1]            # (B, M)
+    M = cell.shape[1]
+    if not _matmul_path_ok(B, M, HW):
+        return jnp.take_along_axis(g_flat, cell[..., None], axis=1)
+    hw = jax.lax.broadcasted_iota(jnp.int32, (B, M, HW), 2)
+    onehot = (hw == cell[..., None]).astype(g.dtype)
+    return jnp.einsum("bmh,bhn->bmn", onehot, g_flat,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _bwd(spatial_size, scatter_type, location, g):
+    return (_bwd_impl(spatial_size, location, g), None)
 
 
 scatter_connection.defvjp(_fwd, _bwd)
