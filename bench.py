@@ -303,29 +303,59 @@ def main():
     d_rew = jax.random.normal(kd[4], (nstep_d, Bd))
     d_done = jax.random.uniform(kd[5], (Bd,)) > 0.9
 
-    def dntd_train_step(fn):
-        def loss(dist_, rew_):
-            l, td = fn(origin.dist_nstep_td_data(
-                dist_, d_next, d_act, d_nact, rew_, d_done, None),
-                0.95, -10.0, 10.0, n_atom, nstep_d)
-            return l, td
-
+    def dntd_step(fn):
         def step(carry, init=False):
             # Perturb BOTH dist and reward: the categorical projection
             # depends only on reward, and a loop-invariant projection gets
             # hoisted out of the fori_loop, under-measuring the op.
+            # Forward+td only: the NAIVE scatter formulation's gradient
+            # (an XLA scatter transpose) returns NaN when compiled inside a
+            # fori_loop on this TPU stack (clean as a standalone program) —
+            # an XLA lowering artifact, so the grad comparison cannot be
+            # benchmarked this way; measured one-off numbers (131us naive /
+            # 1.3us fused) live in docs/DESIGN.md and
+            # bench_results/profile_dist_td.py.
             x = d_dist if init else d_dist + carry * 1e-12
             r = d_rew if init else d_rew + carry * 1e-12
-            # Realistic training use: loss grad + per-sample td (priorities).
-            (v, td), g = jax.value_and_grad(loss, has_aux=True)(x, r)
-            return v * 1e-12 + jnp.sum(td) * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
+            v, td = fn(origin.dist_nstep_td_data(
+                x, d_next, d_act, d_nact, r, d_done, None),
+                0.95, -10.0, 10.0, n_atom, nstep_d)
+            return v * 1e-12 + jnp.sum(td) * 1e-12 + 1.0
         return step
 
     run_stage(
-        "dntd_grad_B128_N128_atoms51", "c51+grad B=128 N=128",
-        dntd_train_step(origin.dist_nstep_td_error),
-        dntd_train_step(ops.dist_nstep_td_error),
+        "dntd_B128_N128_atoms51", "c51 B=128 N=128",
+        dntd_step(origin.dist_nstep_td_error),
+        dntd_step(ops.dist_nstep_td_error),
         est_s=50, K=2000,
+    )
+
+    # ----- scatter connection: reference config B=M=N=256, 16x16 -----
+    from di_hpc_tpu.network import scatter_connection as _scat_fused
+    from di_hpc_tpu.origin.scatter_connection import (
+        scatter_connection as _scat_naive,
+    )
+    Bs, Ms, Ns, Hs, Ws = 256, 256, 256, 16, 16
+    ksc = jax.random.split(jax.random.PRNGKey(8), 3)
+    sc_x = jax.random.normal(ksc[0], (Bs, Ms, Ns))
+    sc_loc = jnp.stack([jax.random.randint(ksc[1], (Bs, Ms), 0, Hs),
+                        jax.random.randint(ksc[2], (Bs, Ms), 0, Ws)], axis=-1)
+
+    def scatter_train_step(fn):
+        def loss(x_):
+            return jnp.sum(fn(x_, (Hs, Ws), sc_loc, "add") ** 2)
+
+        def step(carry, init=False):
+            x_ = sc_x if init else sc_x + carry * 1e-12
+            v, g = jax.value_and_grad(loss)(x_)
+            return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
+        return step
+
+    run_stage(
+        "scatter_add_grad_B256_M256", "scatter add+grad B=M=N=256",
+        scatter_train_step(lambda x, s, l, m: _scat_naive(x, s, l, m)),
+        scatter_train_step(_scat_fused),
+        est_s=50, K=300,
     )
 
     # ----- LSTM: reference config seq=64, B=3, in=1792, hid=384, L=3 -----

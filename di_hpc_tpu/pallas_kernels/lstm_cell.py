@@ -92,10 +92,15 @@ def _layer_kernel(gx_ref, wh_ref, gln_ref, bln_ref, h0_ref, c0_ref,
     cn_ref[:] = c_new
 
 
-def _pick_blk_b(B: int, H: int) -> int:
-    # live VMEM ~ wh + blkB*(4H io + scratch) * 4B * ~6 buffers
+def _pick_blk_b(B: int, H: int, n_bufs: int = 10) -> int:
+    """B-block size bounded by scoped VMEM: Wh plus ~n_bufs live/double-
+    buffered (blk, 4H) buffers.  The backward kernel carries roughly twice
+    the forward's streams (gx/gh_pre in, dgate/dg_pre out, plus residual
+    sequences), so it passes a larger n_bufs — an undersized estimate
+    surfaces only as a Mosaic scoped-vmem compile error on real hardware
+    (seen at B=256, H=512 with the old fixed count)."""
     blk = min(B, 512)
-    while blk > 8 and (H * 4 * H + 10 * blk * 4 * H) * 4 > 14 * 1024 * 1024:
+    while blk > 8 and (H * 4 * H + n_bufs * blk * 4 * H) * 4 > 12 * 1024 * 1024:
         blk //= 2
     return max(blk, 8)
 
@@ -236,7 +241,7 @@ def _bwd_impl(gx, gh_pre_seq, c_prev, c_seq, dy, wh, gln, bln, dhn, dcn,
               norm: bool):
     S, B, H4 = gx.shape
     H = H4 // 4
-    blk = _pick_blk_b(B, H)
+    blk = _pick_blk_b(B, H, n_bufs=18)
     kernel = functools.partial(_bwd_kernel, H=H, norm=norm)
     rev = lambda b, s: (S - 1 - s, b, 0)
     const_b = lambda b, s: (b, 0)

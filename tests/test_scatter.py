@@ -108,3 +108,31 @@ def test_wrapper_class(key):
     loc = jnp.zeros((2, 5, 2), jnp.int32)
     out = sc(x, (4, 4), loc)
     assert out.shape == (2, 3, 4, 4)
+
+
+def test_scatter_fuzz_matches_oracle(key):
+    """One-hot-contraction scatter (fused) vs the scatter-based oracle across
+    random shapes and collision densities, both modes, fwd + grad."""
+    from di_hpc_tpu.network import scatter_connection
+    from di_hpc_tpu.origin.scatter_connection import scatter_connection as oracle
+
+    for i in range(6):
+        cfg_key = jax.random.fold_in(key, 1000 + i)
+        ks = jax.random.split(cfg_key, 4)
+        B = int(jax.random.randint(ks[0], (), 1, 9))
+        M = int(jax.random.randint(ks[1], (), 1, 65))
+        N = int(jax.random.randint(ks[2], (), 1, 33))
+        H = W = int(2 + i)  # small grids -> dense collisions
+        x = jax.random.normal(ks[3], (B, M, N))
+        loc = jnp.stack(
+            [jax.random.randint(jax.random.fold_in(cfg_key, 7), (B, M), 0, H),
+             jax.random.randint(jax.random.fold_in(cfg_key, 8), (B, M), 0, W)],
+            axis=-1)
+        for mode in ("add", "cover"):
+            got = scatter_connection(x, (H, W), loc, mode)
+            want = oracle(x, (H, W), loc, mode)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"{i}/{mode}")
+            gf = jax.grad(lambda x_: jnp.sum(
+                scatter_connection(x_, (H, W), loc, mode) ** 2))(x)
+            assert bool(jnp.isfinite(gf).all()), (i, mode)

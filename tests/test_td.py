@@ -267,3 +267,37 @@ def test_td_wrapper_classes(key):
     rquant = jax.random.uniform(ks[2], (tau, B))
     l4, p4 = ops.IQNNStepTDError(tau, tau + 1, nstep, B, N)(iq, inq, act, nact, rew, done, rquant, gamma=0.95)
     assert p4.shape == (B,)
+
+
+def test_dist_nstep_fuzz_matches_oracle(key):
+    """Scatter-free C51 projection (ops) vs the scatter-based oracle across
+    random configs: shapes, support ranges, nstep, weights, done patterns."""
+    import numpy as np
+    from di_hpc_tpu import ops, origin
+
+    for i in range(8):
+        cfg_key = jax.random.fold_in(key, i)
+        ks = jax.random.split(cfg_key, 8)
+        B = int(jax.random.randint(ks[0], (), 2, 33))
+        N = int(jax.random.randint(ks[1], (), 2, 17))
+        n_atom = int(jax.random.randint(ks[2], (), 2, 61))
+        nstep = int(jax.random.randint(ks[3], (), 1, 6))
+        v_min, v_max = -float(3 + i), float(2 + i)
+        dist = jax.nn.softmax(jax.random.normal(ks[4], (B, N, n_atom)), -1)
+        next_dist = jax.nn.softmax(jax.random.normal(ks[5], (B, N, n_atom)), -1)
+        act = jax.random.randint(ks[6], (B,), 0, N)
+        nact = jax.random.randint(ks[7], (B,), 0, N)
+        rew = jax.random.normal(jax.random.fold_in(cfg_key, 101), (nstep, B))
+        done = jax.random.uniform(jax.random.fold_in(cfg_key, 102), (B,)) > 0.7
+        weight = (None if i % 2 == 0 else
+                  jax.random.uniform(jax.random.fold_in(cfg_key, 103), (B,)))
+        data = origin.dist_nstep_td_data(dist, next_dist, act, nact, rew, done, weight)
+        lf, tdf = ops.dist_nstep_td_error(data, 0.9, v_min, v_max, n_atom, nstep)
+        lo, tdo = origin.dist_nstep_td_error(data, 0.9, v_min, v_max, n_atom, nstep)
+        np.testing.assert_allclose(lf, lo, rtol=1e-5, atol=1e-6, err_msg=str(i))
+        np.testing.assert_allclose(tdf, tdo, rtol=1e-5, atol=1e-5, err_msg=str(i))
+        gf = jax.grad(lambda d: ops.dist_nstep_td_error(
+            data._replace(dist=d), 0.9, v_min, v_max, n_atom, nstep)[0])(dist)
+        go = jax.grad(lambda d: origin.dist_nstep_td_error(
+            data._replace(dist=d), 0.9, v_min, v_max, n_atom, nstep)[0])(dist)
+        np.testing.assert_allclose(gf, go, rtol=1e-4, atol=1e-5, err_msg=str(i))
