@@ -31,10 +31,13 @@ def update_ae(
     """ae[b] += key_embeddings[b, sample_entity[b]] unless the sampled entity
     equals entity_num[b] (end flag) (reference actor_critic_kernel.h:12-31)."""
     end_flag = sample_entity == entity_num
-    # Clamp the gather index so out-of-range "end" entries stay in bounds.
-    idx = jnp.clip(sample_entity, 0, key_embeddings.shape[1] - 1)
-    ke = jnp.take_along_axis(key_embeddings, idx[:, None, None], axis=1)[:, 0]
-    return autoregressive_embedding + jnp.where(end_flag[:, None], 0.0, ke)
+    # iota-compare gather instead of take_along_axis (a dynamic gather, which
+    # serializes on TPU — CLAUDE.md perf lore); out-of-range "end" indices
+    # simply match no row, folding the end-flag zero into the same select.
+    row = jax.lax.broadcasted_iota(jnp.int32, key_embeddings.shape[:2], 1)
+    hit = (row == sample_entity[:, None]) & ~end_flag[:, None]
+    ke = jnp.sum(jnp.where(hit[..., None], key_embeddings, 0.0), axis=1)
+    return autoregressive_embedding + ke
 
 
 @jax.jit
