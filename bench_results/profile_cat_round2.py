@@ -8,6 +8,13 @@ and (b) Mosaic's slow (blk,1)->(blk,N) broadcasts in the backward.  Here:
   xla fwd: pure-jnp forward with iota-compare gather (no take_along_axis)
   grad:    pallas v4 forward + pure-jnp backward via custom_vjp
 """
+# HISTORICAL RECORD: measures the RETIRED Pallas categorical head (removed in
+# commit 6e65b9e after these measurements showed XLA's fusion ties/beats it).
+# No longer runnable — kept as the measurement record the docs cite.
+raise SystemExit("historical measurement record; the Pallas categorical "
+                 "head it profiles was retired (see docs/DESIGN.md §2)")
+
+
 import functools
 import sys
 

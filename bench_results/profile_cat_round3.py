@@ -7,6 +7,13 @@ triples the passes.  Remaining candidates:
              kernel even needed?)
   hybrid:    current pallas fwd + pure-jnp backward via custom_vjp
 """
+# HISTORICAL RECORD: measures the RETIRED Pallas categorical head (removed in
+# commit 6e65b9e after these measurements showed XLA's fusion ties/beats it).
+# No longer runnable — kept as the measurement record the docs cite.
+raise SystemExit("historical measurement record; the Pallas categorical "
+                 "head it profiles was retired (see docs/DESIGN.md §2)")
+
+
 import jax
 import jax.numpy as jnp
 

@@ -8,6 +8,13 @@ Variants tested here:
   xla_bwd:  custom-vjp backward as plain jnp (recompute from stashed lse/ent)
   v3 bwd:   division-free pallas backward
 """
+# HISTORICAL RECORD: measures the RETIRED Pallas categorical head (removed in
+# commit 6e65b9e after these measurements showed XLA's fusion ties/beats it).
+# No longer runnable — kept as the measurement record the docs cite.
+raise SystemExit("historical measurement record; the Pallas categorical "
+                 "head it profiles was retired (see docs/DESIGN.md §2)")
+
+
 import functools
 import sys
 

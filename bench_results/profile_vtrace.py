@@ -9,7 +9,6 @@ import jax.numpy as jnp
 
 from di_hpc_tpu.utils.profiling import bench_fn, roofline
 from di_hpc_tpu import ops, origin
-from di_hpc_tpu.pallas_kernels import categorical as cat
 from di_hpc_tpu.origin.ppo import categorical_log_prob, categorical_entropy
 
 T, B, N = 128, 512, 128
@@ -34,16 +33,17 @@ def report(name, sec, nbytes):
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
 
 if which in ("all", "head"):
-    # 1. pallas head forward only (reads target logits once)
-    f = lambda x: cat.logp_entropy_pallas(x, action)
-    report("pallas logp_entropy fwd", bench_fn(f, t_logits), T * B * N * 4)
+    # (the retired Pallas head measured 208us fwd / 550us fwd+bwd here —
+    # see bench_results/profile_cat_variants.py for the record)
+    from di_hpc_tpu.ops.categorical import logp_entropy as _head
+    report("fused logp_entropy fwd",
+           bench_fn(lambda x: _head(x, action), t_logits), T * B * N * 4)
 
-    # 2. pallas head fwd+bwd
-    def g(x):
-        lp, ent = cat.logp_entropy_pallas(x, action)
+    def _g(x):
+        lp, ent = _head(x, action)
         return jnp.sum(lp) + 0.01 * jnp.sum(ent)
-    gg = jax.grad(g)
-    report("pallas logp_entropy grad", bench_fn(gg, t_logits), 3 * T * B * N * 4)
+    report("fused logp_entropy grad", bench_fn(jax.grad(_g), t_logits),
+           3 * T * B * N * 4)
 
     # 3. XLA head forward only
     fx = lambda x: (categorical_log_prob(x, action), categorical_entropy(x))

@@ -33,6 +33,7 @@ from di_hpc_tpu.origin.rnn import (
     init_lstm_params,
     layer_norm,
 )
+from di_hpc_tpu.pallas_kernels import lstm_cell as _lstm_cell
 
 __all__ = [
     "lstm_fused", "LSTM", "LSTMParams", "init_lstm_params",
@@ -118,47 +119,38 @@ def lstm_fused(
         else:
             g_h = b_h = None
 
-        from di_hpc_tpu.pallas_kernels import lstm_cell as _lc
-
-        if not remat and _lc.supports(S, B, H, gx.dtype):
+        if not remat and _lstm_cell.supports(S, B, H, gx.dtype):
             # Whole-layer Pallas kernel: Wh + hidden state resident in VMEM
-            # across all S steps (custom VJP; reverse-scan backward reads the
-            # stashed h/c sequences, mirroring the reference's stashed-ifog
-            # LstmBackward, lstm.cu:188-379).
+            # across all S steps (custom VJP; on-chip reverse-loop backward
+            # reads the stashed h/c sequences, mirroring the reference's
+            # stashed-ifog LstmBackward, lstm.cu:188-379).
             ones4h = g_h if g_h is not None else jnp.ones((4 * H,), gx.dtype)
             zeros4h = b_h if b_h is not None else jnp.zeros((4 * H,), gx.dtype)
-            x, h_l, c_l = _lc.lstm_layer_fused(
+            x, h_l, c_l = _lstm_cell.lstm_layer_fused(
                 gx, wh_l, ones4h, zeros4h, H0[l], C0[l], norm_type == "LN")
-            hs.append(h_l)
-            cs.append(c_l)
-            if dropout > 0.0 and l != L - 1:
-                assert dropout_key is not None, "dropout requires a PRNG key"
-                dropout_key, sub = jax.random.split(dropout_key)
-                keep = jax.random.bernoulli(sub, 1.0 - dropout, x.shape)
-                x = jnp.where(keep, x / (1.0 - dropout), 0.0)
-            continue
+        else:
+            def step(carry, gx_t, wh_l=wh_l, g_h=g_h, b_h=b_h):
+                h, c = carry
+                gh = h @ wh_l
+                if g_h is not None:
+                    gh = layer_norm(gh, g_h, b_h)
+                gate = gx_t + gh
+                i, f, o, u = jnp.split(gate, 4, axis=-1)
+                i = jax.nn.sigmoid(i)
+                f = jax.nn.sigmoid(f)
+                o = jax.nn.sigmoid(o)
+                u = jnp.tanh(u)
+                c_new = f * c + i * u
+                h_new = o * jnp.tanh(c_new)
+                return (h_new, c_new), h_new
 
-        def step(carry, gx_t, wh_l=wh_l, g_h=g_h, b_h=b_h):
-            h, c = carry
-            gh = h @ wh_l
-            if g_h is not None:
-                gh = layer_norm(gh, g_h, b_h)
-            gate = gx_t + gh
-            i, f, o, u = jnp.split(gate, 4, axis=-1)
-            i = jax.nn.sigmoid(i)
-            f = jax.nn.sigmoid(f)
-            o = jax.nn.sigmoid(o)
-            u = jnp.tanh(u)
-            c_new = f * c + i * u
-            h_new = o * jnp.tanh(c_new)
-            return (h_new, c_new), h_new
+            if remat:
+                # Trade FLOPs for HBM: recompute cell activations in the
+                # backward instead of stashing them (the reference stashes
+                # ifog per step, torch_utils/network/rnn.py:124-127).
+                step = jax.checkpoint(step)
+            (h_l, c_l), x = jax.lax.scan(step, (H0[l], C0[l]), gx)
 
-        if remat:
-            # Trade FLOPs for HBM: recompute cell activations in the backward
-            # instead of stashing them (the reference stashes ifog for every
-            # step, torch_utils/network/rnn.py:124-127).
-            step = jax.checkpoint(step)
-        (h_l, c_l), x = jax.lax.scan(step, (H0[l], C0[l]), gx)
         hs.append(h_l)
         cs.append(c_l)
 

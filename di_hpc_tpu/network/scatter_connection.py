@@ -35,10 +35,15 @@ __all__ = ["scatter_connection", "ScatterConnection"]
 
 # One-hot tensor budget: (B, M, HW) f32 materialized for the MXU contraction.
 _ONEHOT_BUDGET_BYTES = 1 * 1024 * 1024 * 1024
+# The contraction does HW x the scatter's FLOPs; it wins while the MXU eats
+# that redundancy (measured 9.5x at HW=256) but must lose for large spatial
+# maps, so cap HW rather than only memory.
+_MAX_HW_FOR_MATMUL = 4096
 
 
 def _matmul_path_ok(B: int, M: int, HW: int) -> bool:
-    return B * M * HW * 4 <= _ONEHOT_BUDGET_BYTES
+    return (HW <= _MAX_HW_FOR_MATMUL
+            and B * M * HW * 4 <= _ONEHOT_BUDGET_BYTES)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))
@@ -87,7 +92,13 @@ def _bwd_impl(spatial_size, location, g):
     cell = location[..., 0] * W + location[..., 1]            # (B, M)
     M = cell.shape[1]
     if not _matmul_path_ok(B, M, HW):
-        return jnp.take_along_axis(g_flat, cell[..., None], axis=1)
+        # Zero the gradient of out-of-range entities (their forward update is
+        # dropped) — take_along_axis alone would CLAMP the index and return a
+        # real gradient, diverging from the matmul path's semantics.
+        valid = (cell >= 0) & (cell < HW)
+        gathered = jnp.take_along_axis(
+            g_flat, jnp.clip(cell, 0, HW - 1)[..., None], axis=1)
+        return jnp.where(valid[..., None], gathered, 0.0)
     hw = jax.lax.broadcasted_iota(jnp.int32, (B, M, HW), 2)
     onehot = (hw == cell[..., None]).astype(g.dtype)
     return jnp.einsum("bmh,bhn->bmn", onehot, g_flat,

@@ -77,27 +77,26 @@ def _le_bwd(res, g):
 logp_entropy.defvjp(_le_fwd, _le_bwd)
 
 
+def _lp_math(logits: jax.Array, actions: jax.Array):
+    x = logits.astype(jnp.float32)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True))
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    a = actions.astype(jnp.int32)[..., None]
+    xa = jnp.sum(jnp.where(col == a, x, 0.0), axis=-1, keepdims=True)
+    return (xa - lse)[..., 0], lse
+
+
 @jax.custom_vjp
 def logp(logits: jax.Array, actions: jax.Array) -> jax.Array:
     """Log-prob of the taken action only (3 reductions instead of 4 — used
     for the behaviour policy in V-trace, whose entropy is never needed)."""
-    x = logits.astype(jnp.float32)
-    m = jnp.max(x, axis=-1, keepdims=True)
-    lse = m + jnp.log(jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True))
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    a = actions.astype(jnp.int32)[..., None]
-    xa = jnp.sum(jnp.where(col == a, x, 0.0), axis=-1, keepdims=True)
-    return (xa - lse)[..., 0]
+    return _lp_math(logits, actions)[0]
 
 
 def _lp_fwd(logits, actions):
-    x = logits.astype(jnp.float32)
-    m = jnp.max(x, axis=-1, keepdims=True)
-    lse = m + jnp.log(jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True))
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    a = actions.astype(jnp.int32)[..., None]
-    xa = jnp.sum(jnp.where(col == a, x, 0.0), axis=-1, keepdims=True)
-    return (xa - lse)[..., 0], (logits, actions, lse)
+    lp, lse = _lp_math(logits, actions)
+    return lp, (logits, actions, lse)
 
 
 def _lp_bwd(res, g):

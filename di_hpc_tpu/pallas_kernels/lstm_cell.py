@@ -63,8 +63,11 @@ def _gates(gate, c, H):
 
 
 def _layer_kernel(gx_ref, wh_ref, gln_ref, bln_ref, h0_ref, c0_ref,
-                  y_ref, c_seq_ref, hn_ref, cn_ref, h_scr, c_scr,
-                  *, H: int, norm: bool):
+                  y_ref, *out_refs, H: int, norm: bool, stash: bool):
+    if stash:
+        c_seq_ref, hn_ref, cn_ref, h_scr, c_scr = out_refs
+    else:
+        hn_ref, cn_ref, h_scr, c_scr = out_refs
     s = pl.program_id(1)
 
     @pl.when(s == 0)
@@ -85,7 +88,10 @@ def _layer_kernel(gx_ref, wh_ref, gln_ref, bln_ref, h0_ref, c0_ref,
     h_scr[:] = h_new
     c_scr[:] = c_new
     y_ref[0] = h_new
-    c_seq_ref[0] = c_new
+    if stash:
+        # c_seq residual for the backward kernel only: inference calls skip
+        # this (S, B, H) HBM write entirely.
+        c_seq_ref[0] = c_new
     # Constant block index over s: stays in VMEM, flushed once per B-block
     # with the final step's value.
     hn_ref[:] = h_new
@@ -105,24 +111,27 @@ def _pick_blk_b(B: int, H: int, n_bufs: int = 10) -> int:
     return max(blk, 8)
 
 
-@functools.partial(jax.jit, static_argnames=("norm",))
-def _layer_impl(gx, wh, gln, bln, h0, c0, norm: bool):
+@functools.partial(jax.jit, static_argnames=("norm", "stash"))
+def _layer_impl(gx, wh, gln, bln, h0, c0, norm: bool, stash: bool = True):
     S, B, H4 = gx.shape
     H = H4 // 4
     blk = _pick_blk_b(B, H)
-    kernel = functools.partial(_layer_kernel, H=H, norm=norm)
+    kernel = functools.partial(_layer_kernel, H=H, norm=norm, stash=stash)
     sb = lambda b, s: (s, b, 0)
     const_b = lambda b, s: (b, 0)
     seq_spec = pl.BlockSpec((1, blk, H4), sb, memory_space=pltpu.VMEM)
     out_seq = pl.BlockSpec((1, blk, H), sb, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((blk, H), const_b, memory_space=pltpu.VMEM)
     full = lambda b, s: (0, 0)
-    y, c_seq, hn, cn = pl.pallas_call(
+    seq_shape = jax.ShapeDtypeStruct((S, B, H), gx.dtype)
+    state_shape = jax.ShapeDtypeStruct((B, H), gx.dtype)
+    out_shape = ((seq_shape, seq_shape, state_shape, state_shape) if stash
+                 else (seq_shape, state_shape, state_shape))
+    out_specs = ((out_seq, out_seq, state_spec, state_spec) if stash
+                 else (out_seq, state_spec, state_spec))
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((S, B, H), gx.dtype),
-                   jax.ShapeDtypeStruct((S, B, H), gx.dtype),
-                   jax.ShapeDtypeStruct((B, H), gx.dtype),
-                   jax.ShapeDtypeStruct((B, H), gx.dtype)),
+        out_shape=out_shape,
         grid=(pl.cdiv(B, blk), S),
         in_specs=[
             seq_spec,
@@ -131,7 +140,7 @@ def _layer_impl(gx, wh, gln, bln, h0, c0, norm: bool):
             pl.BlockSpec((1, H4), full, memory_space=pltpu.VMEM),
             state_spec, state_spec,
         ],
-        out_specs=(out_seq, out_seq, state_spec, state_spec),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((blk, H), jnp.float32),
                         pltpu.VMEM((blk, H), jnp.float32)],
         cost_estimate=pl.CostEstimate(
@@ -141,7 +150,10 @@ def _layer_impl(gx, wh, gln, bln, h0, c0, norm: bool):
         ),
         interpret=_ls.INTERPRET,
     )(gx, wh, gln.reshape(1, H4), bln.reshape(1, H4), h0, c0)
-    return y, c_seq, hn, cn
+    if stash:
+        return outs
+    y, hn, cn = outs
+    return y, None, hn, cn
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
@@ -157,7 +169,7 @@ def lstm_layer_fused(gx, wh, gln, bln, h0, c0, norm: bool = True):
 
     Returns (y (S, B, H), h_n (B, H), c_n (B, H)).
     """
-    y, _, hn, cn = _layer_impl(gx, wh, gln, bln, h0, c0, norm)
+    y, _, hn, cn = _layer_impl(gx, wh, gln, bln, h0, c0, norm, stash=False)
     return y, hn, cn
 
 
