@@ -327,7 +327,9 @@ def main():
         "dntd_B128_N128_atoms51", "c51 B=128 N=128",
         dntd_step(origin.dist_nstep_td_error),
         dntd_step(ops.dist_nstep_td_error),
-        est_s=50, K=2000,
+        # The fused op is ~5us; K must push the loop total far above the
+        # ~30ms (+-30%) tunnel dispatch jitter or the speedup is noise.
+        est_s=60, K=20000,
     )
 
     # ----- scatter connection: reference config B=M=N=256, 16x16 -----
