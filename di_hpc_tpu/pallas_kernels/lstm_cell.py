@@ -286,19 +286,212 @@ def _bwd_impl(gx, gh_pre_seq, c_prev, c_seq, dy, wh, gln, bln, dhn, dcn,
     return dgx, dg_pre_seq, dh0, dc0
 
 
+def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
+                   gln_ref, bln_ref, h0_ref, c0_ref, dhn_ref, dcn_ref,
+                   dgx_ref, dgpre_ref, dgln_ref, dbln_ref, dh0_ref, dc0_ref,
+                   dh_scr, dc_scr, *, S: int, B: int, H: int, norm: bool):
+    """Single-pass reverse loop: forward recompute + LN grads on-chip.
+
+    V2 of the hand-derived backward (see _bwd_kernel for the streaming V1).
+    Instead of materializing gh_pre = h_prev @ Wh in HBM and reducing the LN
+    grads in separate XLA passes, this kernel
+      - streams h_prev (= y shifted by one step) and recomputes gh_pre on
+        the MXU in-kernel,
+      - recomputes c_t = f*c_prev + i*u from the gates so only the SHIFTED
+        c stream is read (one (S,B,H) read instead of two),
+      - accumulates dgamma/dbeta into revisited constant-index output blocks
+        that live in VMEM for the whole grid.
+    d(gh_pre) still streams out and dWh is one sequence-wide MXU GEMM
+    outside: a fully-fused variant that accumulated dWh in-kernel was
+    measured SLOWER (3208 vs 2676 us at S=32,B=256,H=512,L=2) — the
+    per-step (H, 4H) outer-product update is MXU-latency-bound at blk-deep
+    contraction, and the second resident (H,4H) block forces blk down to 32.
+    HBM traffic drops from ~39 to ~20 (S*B*H)-float units per layer.
+    """
+    b, s = pl.program_id(0), pl.program_id(1)
+    t_is_0 = s == S - 1          # reverse grid: step s handles t = S-1-s
+
+    @pl.when(s == 0)
+    def _init_carry():
+        dh_scr[:] = dhn_ref[:]
+        dc_scr[:] = dcn_ref[:]
+
+    @pl.when((b == 0) & (s == 0))
+    def _init_accum():
+        dgln_ref[:] = jnp.zeros_like(dgln_ref)
+        dbln_ref[:] = jnp.zeros_like(dbln_ref)
+
+    h_prev = jnp.where(t_is_0, h0_ref[:], yprev_ref[0])
+    c_prev = jnp.where(t_is_0, c0_ref[:], cprev_ref[0])
+    blk = h_prev.shape[0]
+    if B % blk:
+        # Ragged last block: zero-substitute padding rows on load.  Stream
+        # OUTPUTS are bounds-clipped by Pallas, but the dWh/dgamma/dbeta
+        # accumulators sum over every block row, and uninitialized VMEM can
+        # be NaN (NaN*0 = NaN), so the substitution must happen before any
+        # math.  With these rows zeroed, their dgate rows are exactly zero
+        # and contribute nothing to the accumulators.
+        valid = (b * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+                 ) < B
+        h_prev = jnp.where(valid, h_prev, 0.0)
+        c_prev = jnp.where(valid, c_prev, 0.0)
+    else:
+        valid = None
+
+    # Recompute the forward's step t intermediates (same ops, same ambient
+    # matmul precision as the forward kernel -> matching values).
+    gh_pre = jax.lax.dot_general(
+        h_prev, wh_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=None)
+    if norm:
+        mean = jnp.mean(gh_pre, axis=-1, keepdims=True)
+        var = jnp.mean((gh_pre - mean) ** 2, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + LAYERNORM_EPS)
+        xhat = (gh_pre - mean) * rstd
+        gh = xhat * gln_ref[:] + bln_ref[:]
+    else:
+        gh = gh_pre
+    gate = gx_ref[0] + gh
+    if valid is not None:
+        gate = jnp.where(valid, gate, 0.0)      # NaN-proof transcendentals
+    si = jax.nn.sigmoid(gate[:, :H])
+    sf = jax.nn.sigmoid(gate[:, H:2 * H])
+    so = jax.nn.sigmoid(gate[:, 2 * H:3 * H])
+    su = jnp.tanh(gate[:, 3 * H:])
+    c_t = sf * c_prev + si * su
+    tc = jnp.tanh(c_t)
+
+    # Cell backward.
+    dh = dh_scr[:] + dy_ref[0]
+    if valid is not None:
+        dh = jnp.where(valid, dh, 0.0)
+    dc = dc_scr[:] + dh * so * (1.0 - tc * tc)
+    if valid is not None:
+        dc = jnp.where(valid, dc, 0.0)
+    dgate = jnp.concatenate([
+        (dc * su) * si * (1.0 - si),
+        (dc * c_prev) * sf * (1.0 - sf),
+        (dh * tc) * so * (1.0 - so),
+        (dc * si) * (1.0 - su * su),
+    ], axis=-1)                                   # (blk, 4H)
+    dgx_ref[0] = dgate
+
+    # LayerNorm backward + in-VMEM param-grad accumulation.
+    if norm:
+        dxhat = dgate * gln_ref[:]
+        m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+        m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dg_pre = rstd * (dxhat - m1 - xhat * m2)
+        dgln_ref[:] += jnp.sum(dgate * xhat, axis=0, keepdims=True)
+        dbln_ref[:] += jnp.sum(dgate, axis=0, keepdims=True)
+    else:
+        dg_pre = dgate
+    dgpre_ref[0] = dg_pre
+
+    # Carry to step t-1: dh via Wh^T (MXU), dc via the forget gate.
+    dh_scr[:] = jax.lax.dot_general(
+        dg_pre, wh_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=None)
+    dc_scr[:] = dc * sf
+    # Last write (t = 0) wins: these constant-index blocks flush at grid end.
+    dh0_ref[:] = dh_scr[:]
+    dc0_ref[:] = dc_scr[:]
+
+
+# V2 VMEM model: Wh resident ((H,4H) f32) + ~12 double-buffered (blk, 4H)-
+# equivalent stream buffers (gx in, dgx/dgpre out, y/c/dy shifted streams)
+# + ~6 live (blk, 4H) temporaries (gh_pre/xhat/gate/dgate/dxhat/dg_pre).
+def _v2_vmem_bytes(blk: int, H: int) -> int:
+    return (H * 4 * H + 18 * blk * 4 * H) * 4
+
+
+_V2_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _bwd_fits_v2(B: int, H: int) -> bool:
+    # B gate: V2 trades one extra per-step MXU product (the gh_pre
+    # recompute) for ~2x less HBM traffic — a win only when the streams are
+    # big enough to dominate (measured v5e fwd+grad: S=32,B=256,H=512,L=2:
+    # 2263 vs 2673 us; S=64,B=3,H=384,L=3: 409 vs 373 us).
+    return B >= 64 and _v2_vmem_bytes(_pick_blk_b_v2(B, H), H) <= _V2_VMEM_BUDGET
+
+
+def _pick_blk_b_v2(B: int, H: int) -> int:
+    blk = min(B, 256)
+    while blk > 8 and _v2_vmem_bytes(blk, H) > _V2_VMEM_BUDGET:
+        blk //= 2
+    return max(blk, 8)
+
+
+@functools.partial(jax.jit, static_argnames=("norm",))
+def _bwd_impl_v2(gx, y, c_seq, dy, wh, gln, bln, h0, c0, dhn, dcn,
+                 norm: bool):
+    S, B, H4 = gx.shape
+    H = H4 // 4
+    blk = _pick_blk_b_v2(B, H)
+    kernel = functools.partial(_bwd_kernel_v2, S=S, B=B, H=H, norm=norm)
+    rev = lambda b, s: (S - 1 - s, b, 0)
+    # Stream at t-1 (clamped at 0; the t==0 step selects h0/c0 in-kernel).
+    rev_m1 = lambda b, s: (jnp.maximum(S - 2 - s, 0), b, 0)
+    const_b = lambda b, s: (b, 0)
+    full = lambda b, s: (0, 0)
+    seq4 = pl.BlockSpec((1, blk, H4), rev, memory_space=pltpu.VMEM)
+    seq1 = pl.BlockSpec((1, blk, H), rev, memory_space=pltpu.VMEM)
+    seq1_m1 = pl.BlockSpec((1, blk, H), rev_m1, memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((blk, H), const_b, memory_space=pltpu.VMEM)
+    vec4 = pl.BlockSpec((1, H4), full, memory_space=pltpu.VMEM)
+    dgx, dg_pre_seq, dgln, dbln, dh0, dc0 = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((S, B, H4), gx.dtype),
+                   jax.ShapeDtypeStruct((S, B, H4), gx.dtype),
+                   jax.ShapeDtypeStruct((1, H4), jnp.float32),
+                   jax.ShapeDtypeStruct((1, H4), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H), gx.dtype),
+                   jax.ShapeDtypeStruct((B, H), gx.dtype)),
+        grid=(pl.cdiv(B, blk), S),
+        in_specs=[seq4, seq1_m1, seq1_m1, seq1,
+                  pl.BlockSpec((H, H4), full, memory_space=pltpu.VMEM),
+                  vec4, vec4, state_spec, state_spec, state_spec, state_spec],
+        out_specs=(seq4, seq4, vec4, vec4, state_spec, state_spec),
+        scratch_shapes=[pltpu.VMEM((blk, H), jnp.float32),
+                        pltpu.VMEM((blk, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * S * B * H * H4,
+            bytes_accessed=(3 * S * B * H4 + 3 * S * B * H + H * H4) * 4,
+            transcendentals=6 * S * B * H,
+        ),
+        interpret=_ls.INTERPRET,
+    )(gx, y, c_seq, dy, wh, gln.reshape(1, H4), bln.reshape(1, H4),
+      h0, c0, dhn, dcn)
+    return dgx, dg_pre_seq, dgln, dbln, dh0, dc0
+
+
 def _layer_bwd(norm: bool, res, ct):
     """Backward via the on-chip reverse-loop kernel.
 
-    The recompute of gh_pre = h_prev @ Wh is one sequence-wide MXU GEMM
-    (mirroring the forward's hoisted x @ Wx); the kernel then runs the
-    whole reverse time loop in VMEM, streaming out per-step d(gate) and
-    d(gh_pre), from which dWh and the LN-param grads are sequence-wide
-    reductions here.  (A pure-jnp lax.scan version of this backward
-    measured ~415us at the reference config vs ~150us forward — per-step
-    XLA loop overhead, not math, dominates; hence the kernel.)
+    V2 path (when two (H, 4H) blocks fit in scoped VMEM): everything —
+    gh_pre recompute, cell+LN backward, dWh/dgamma/dbeta accumulation — runs
+    inside one Pallas kernel; HBM sees only the gx/y/c/dy input streams and
+    the dgx output.  V1 fallback: the gh_pre recompute is one sequence-wide
+    MXU GEMM (mirroring the forward's hoisted x @ Wx); the kernel streams
+    out per-step d(gate) and d(gh_pre), from which dWh and the LN-param
+    grads are sequence-wide reductions here.  (A pure-jnp lax.scan version
+    of this backward measured ~415us at the reference config vs ~150us
+    forward — per-step XLA loop overhead, not math, dominates; hence the
+    kernels.)
     """
     gx, wh, gln, bln, h0, c0, y, c_seq = res
     dy, dhn, dcn = ct
+    B, H = h0.shape
+    if _bwd_fits_v2(B, H):
+        dgx, dg_pre_seq, dgln, dbln, dh0, dc0 = _bwd_impl_v2(
+            gx, y, c_seq, dy, wh, gln, bln, h0, c0, dhn, dcn, norm)
+        # dWh as two sequence-wide MXU GEMMs on the un-shifted stashes
+        # (h_prev_t = y_{t-1} for t>0, h0 for t=0) — no concat materialization.
+        dwh = (jnp.einsum("bh,bg->hg", h0, dg_pre_seq[0])
+               + jnp.einsum("sbh,sbg->hg", y[:-1], dg_pre_seq[1:]))
+        return (dgx, dwh, dgln.reshape(-1).astype(gln.dtype),
+                dbln.reshape(-1).astype(bln.dtype), dh0, dc0)
     # h_prev/c_prev per step: state BEFORE step t.
     h_prev = jnp.concatenate([h0[None], y[:-1]], axis=0)
     c_prev = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)

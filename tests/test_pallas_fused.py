@@ -102,7 +102,16 @@ def test_fused_ppo_routes(interpret, key):
     np.testing.assert_allclose(g_f, g_o, rtol=1e-4, atol=1e-5)
 
 
-def test_lstm_layer_kernel_routing(interpret, key):
+@pytest.fixture
+def f32_matmuls():
+    # Kernel/oracle comparisons through a multi-step recurrence need exact
+    # f32 GEMMs on both sides: on real TPU the ambient default is bf16 and
+    # the two sides accumulate in different orders (see CLAUDE.md).
+    with jax.default_matmul_precision("float32"):
+        yield
+
+
+def test_lstm_layer_kernel_routing(interpret, f32_matmuls, key):
     """lstm_fused routes through the whole-layer Pallas kernel (H a lane
     multiple) and matches the origin oracle, forward and gradients."""
     from di_hpc_tpu.network.lstm import lstm_fused
@@ -135,3 +144,58 @@ def test_lstm_layer_kernel_routing(interpret, key):
     g_r = jax.grad(loss_ref)(params)
     for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("S,B,H,force_blk", [
+    (8, 64, 128, None),    # V2 path, single block
+    (3, 88, 128, 16),      # V2 path, ragged blocks (88 % 16 = 8)
+])
+def test_lstm_layer_bwd_v2(interpret, f32_matmuls, key, monkeypatch,
+                           S, B, H, force_blk):
+    """The V2 backward kernel (on-chip gh_pre/c recompute + in-VMEM LN-param
+    accumulation) matches autodiff through the scan oracle — including with
+    blk < B and a ragged last block, whose padding rows must not leak into
+    the dWh/dgamma/dbeta reductions."""
+    from di_hpc_tpu.pallas_kernels import lstm_cell
+
+    assert lstm_cell._bwd_fits_v2(B, H)
+    if force_blk is not None:
+        monkeypatch.setattr(lstm_cell, "_pick_blk_b_v2",
+                            lambda B_, H_: force_blk)
+        assert B % force_blk != 0   # genuinely ragged
+
+    ks = jax.random.split(key, 6)
+    gx = jax.random.normal(ks[0], (S, B, 4 * H))
+    wh = jax.random.normal(ks[1], (H, 4 * H)) * 0.1
+    gln = 1.0 + 0.1 * jax.random.normal(ks[2], (4 * H,))
+    bln = 0.1 * jax.random.normal(ks[3], (4 * H,))
+    h0 = jax.random.normal(ks[4], (B, H))
+    c0 = jax.random.normal(ks[5], (B, H))
+
+    def oracle(gx, wh, gln, bln, h0, c0):
+        from di_hpc_tpu.origin.rnn import layer_norm
+
+        def step(carry, gx_t):
+            h, c = carry
+            gh = layer_norm(h @ wh, gln, bln)
+            g = gx_t + gh
+            i, f, o, u = jnp.split(g, 4, -1)
+            c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(u)
+            h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+            return (h2, c2), h2
+
+        (hn, cn), y = jax.lax.scan(step, (h0, c0), gx)
+        return y, hn, cn
+
+    def loss(f):
+        def g(args):
+            y, hn, cn = f(*args)
+            return jnp.sum(y * jnp.cos(y)) + jnp.sum(hn ** 2) + jnp.sum(jnp.sin(cn))
+        return g
+
+    args = (gx, wh, gln, bln, h0, c0)
+    g_f = jax.grad(loss(lambda *a: __import__("di_hpc_tpu.pallas_kernels.lstm_cell",
+                                              fromlist=["x"]).lstm_layer_fused(*a, True)))(args)
+    g_r = jax.grad(loss(oracle))(args)
+    for name, a, b in zip(["dgx", "dwh", "dgln", "dbln", "dh0", "dc0"], g_f, g_r):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=name)
