@@ -119,15 +119,21 @@ def lstm_fused(
         else:
             g_h = b_h = None
 
-        if not remat and _lstm_cell.supports(S, B, H, gx.dtype):
+        if (not remat and wh_l.dtype == gx.dtype
+                and _lstm_cell.supports(S, B, H, gx.dtype)):
             # Whole-layer Pallas kernel: Wh + hidden state resident in VMEM
             # across all S steps (custom VJP; on-chip reverse-loop backward
             # reads the stashed h/c sequences, mirroring the reference's
-            # stashed-ifog LstmBackward, lstm.cu:188-379).
+            # stashed-ifog LstmBackward, lstm.cu:188-379).  bf16 inputs take
+            # this path natively (bf16 streams, f32 gate math + f32 h/c
+            # carry in scratch); mixed param/stream dtypes fall back to the
+            # scan so custom-VJP cotangent dtypes stay consistent.
             ones4h = g_h if g_h is not None else jnp.ones((4 * H,), gx.dtype)
             zeros4h = b_h if b_h is not None else jnp.zeros((4 * H,), gx.dtype)
             x, h_l, c_l = _lstm_cell.lstm_layer_fused(
-                gx, wh_l, ones4h, zeros4h, H0[l], C0[l], norm_type == "LN")
+                gx, wh_l, ones4h, zeros4h,
+                H0[l].astype(gx.dtype), C0[l].astype(gx.dtype),
+                norm_type == "LN")
         else:
             def step(carry, gx_t, wh_l=wh_l, g_h=g_h, b_h=b_h):
                 h, c = carry

@@ -63,7 +63,7 @@ def _gates(gate, c, H):
 
 
 def _layer_kernel(gx_ref, wh_ref, gln_ref, bln_ref, h0_ref, c0_ref,
-                  y_ref, *out_refs, H: int, norm: bool, stash: bool):
+                  y_ref, *out_refs, S: int, H: int, norm: bool, stash: bool):
     if stash:
         c_seq_ref, hn_ref, cn_ref, h_scr, c_scr = out_refs
     else:
@@ -72,41 +72,52 @@ def _layer_kernel(gx_ref, wh_ref, gln_ref, bln_ref, h0_ref, c0_ref,
 
     @pl.when(s == 0)
     def _init():
-        h_scr[:] = h0_ref[:]
-        c_scr[:] = c0_ref[:]
+        h_scr[:] = h0_ref[:].astype(jnp.float32)
+        c_scr[:] = c0_ref[:].astype(jnp.float32)
 
-    h = h_scr[:]                                   # (blkB, H)
+    # bf16 inputs: streams/weights stay bf16 (half the HBM traffic, native
+    # MXU rate); the h/c CARRY and all gate math stay f32 in scratch —
+    # casting h to the weight dtype at the GEMM input is exactly the
+    # rounding the stored y stream sees, so the backward's recompute from y
+    # matches the forward.
+    h = h_scr[:]                                   # (blkB, H) f32
     c = c_scr[:]
     gh = jax.lax.dot_general(
-        h, wh_ref[:], (((1,), (0,)), ((), ())),
+        h.astype(wh_ref.dtype), wh_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=None)                            # (blkB, 4H) on the MXU
     if norm:
-        gh = _ln(gh, gln_ref[:], bln_ref[:])
-    gate = gx_ref[0] + gh
+        gh = _ln(gh, gln_ref[:].astype(jnp.float32),
+                 bln_ref[:].astype(jnp.float32))
+    gate = gx_ref[0].astype(jnp.float32) + gh
     h_new, c_new = _gates(gate, c, H)
     h_scr[:] = h_new
     c_scr[:] = c_new
-    y_ref[0] = h_new
+    y_ref[0] = h_new.astype(y_ref.dtype)
     if stash:
         # c_seq residual for the backward kernel only: inference calls skip
         # this (S, B, H) HBM write entirely.
-        c_seq_ref[0] = c_new
-    # Constant block index over s: stays in VMEM, flushed once per B-block
-    # with the final step's value.
-    hn_ref[:] = h_new
-    cn_ref[:] = c_new
+        c_seq_ref[0] = c_new.astype(c_seq_ref.dtype)
+
+    # Constant block index over s: stays in VMEM, flushed once per B-block.
+    # Writing only on the final step saves two (blk, H) VPU copies per step.
+    @pl.when(s == S - 1)
+    def _flush_state():
+        hn_ref[:] = h_new.astype(hn_ref.dtype)
+        cn_ref[:] = c_new.astype(cn_ref.dtype)
 
 
-def _pick_blk_b(B: int, H: int, n_bufs: int = 10) -> int:
+def _pick_blk_b(B: int, H: int, n_bufs: int = 10, itemsize: int = 4) -> int:
     """B-block size bounded by scoped VMEM: Wh plus ~n_bufs live/double-
     buffered (blk, 4H) buffers.  The backward kernel carries roughly twice
     the forward's streams (gx/gh_pre in, dgate/dg_pre out, plus residual
     sequences), so it passes a larger n_bufs — an undersized estimate
     surfaces only as a Mosaic scoped-vmem compile error on real hardware
-    (seen at B=256, H=512 with the old fixed count)."""
+    (seen at B=256, H=512 with the old fixed count).  itemsize is the
+    STREAM dtype's (bf16 streams halve the buffer bytes and let blk grow);
+    the f32 gate-math temporaries ride in n_bufs slack."""
     blk = min(B, 512)
-    while blk > 8 and (H * 4 * H + n_bufs * blk * 4 * H) * 4 > 12 * 1024 * 1024:
+    while blk > 8 and (H * 4 * H + n_bufs * blk * 4 * H) * itemsize > 12 * 1024 * 1024:
         blk //= 2
     return max(blk, 8)
 
@@ -115,8 +126,13 @@ def _pick_blk_b(B: int, H: int, n_bufs: int = 10) -> int:
 def _layer_impl(gx, wh, gln, bln, h0, c0, norm: bool, stash: bool = True):
     S, B, H4 = gx.shape
     H = H4 // 4
-    blk = _pick_blk_b(B, H)
-    kernel = functools.partial(_layer_kernel, H=H, norm=norm, stash=stash)
+    # bf16 streams halve buffer bytes but the f32 gate-math temporaries do
+    # not shrink: fold them in as extra stream-equivalents.
+    itemsize = gx.dtype.itemsize
+    blk = _pick_blk_b(B, H, n_bufs=10 if itemsize == 4 else 16,
+                      itemsize=itemsize)
+    kernel = functools.partial(_layer_kernel, S=S, H=H, norm=norm,
+                               stash=stash)
     sb = lambda b, s: (s, b, 0)
     const_b = lambda b, s: (b, 0)
     seq_spec = pl.BlockSpec((1, blk, H4), sb, memory_space=pltpu.VMEM)
@@ -181,7 +197,7 @@ def _layer_fwd(gx, wh, gln, bln, h0, c0, norm: bool):
 def _bwd_kernel(gx_ref, ghp_ref, cprev_ref, cseq_ref, dy_ref, wh_ref,
                 gln_ref, bln_ref, dhn_ref, dcn_ref,
                 dgx_ref, dgpre_ref, dh0_ref, dc0_ref, dh_scr, dc_scr,
-                *, H: int, norm: bool):
+                *, S: int, H: int, norm: bool):
     """Hand-derived reverse step, whole reverse loop on-chip.
 
     The TPU analogue of the reference's LstmBackward (lstm.cu:188-379,
@@ -196,56 +212,62 @@ def _bwd_kernel(gx_ref, ghp_ref, cprev_ref, cseq_ref, dy_ref, wh_ref,
 
     @pl.when(s == 0)
     def _init_carry():
-        dh_scr[:] = dhn_ref[:]
-        dc_scr[:] = dcn_ref[:]
+        dh_scr[:] = dhn_ref[:].astype(jnp.float32)
+        dc_scr[:] = dcn_ref[:].astype(jnp.float32)
 
     # Recompute the forward's post-GEMM intermediates for step t = S-1-s.
-    gh_pre = ghp_ref[0]                           # (blk, 4H)
+    # All math is f32; bf16 streams are upcast on load, downcast on store.
+    gh_pre = ghp_ref[0].astype(jnp.float32)       # (blk, 4H)
     if norm:
         mean = jnp.mean(gh_pre, axis=-1, keepdims=True)
         var = jnp.mean((gh_pre - mean) ** 2, axis=-1, keepdims=True)
         rstd = jax.lax.rsqrt(var + LAYERNORM_EPS)
         xhat = (gh_pre - mean) * rstd
-        gh = xhat * gln_ref[:] + bln_ref[:]
+        gh = (xhat * gln_ref[:].astype(jnp.float32)
+              + bln_ref[:].astype(jnp.float32))
     else:
         gh = gh_pre
-    gate = gx_ref[0] + gh
+    gate = gx_ref[0].astype(jnp.float32) + gh
     si = jax.nn.sigmoid(gate[:, :H])
     sf = jax.nn.sigmoid(gate[:, H:2 * H])
     so = jax.nn.sigmoid(gate[:, 2 * H:3 * H])
     su = jnp.tanh(gate[:, 3 * H:])
-    c_prev = cprev_ref[0]
-    tc = jnp.tanh(cseq_ref[0])                    # tanh(c_t)
+    c_prev = cprev_ref[0].astype(jnp.float32)
+    tc = jnp.tanh(cseq_ref[0].astype(jnp.float32))  # tanh(c_t)
 
     # Cell backward.
-    dh = dh_scr[:] + dy_ref[0]
+    dh = dh_scr[:] + dy_ref[0].astype(jnp.float32)
     dc = dc_scr[:] + dh * so * (1.0 - tc * tc)
     dgate = jnp.concatenate([
         (dc * su) * si * (1.0 - si),
         (dc * c_prev) * sf * (1.0 - sf),
         (dh * tc) * so * (1.0 - so),
         (dc * si) * (1.0 - su * su),
-    ], axis=-1)                                   # (blk, 4H)
-    dgx_ref[0] = dgate
+    ], axis=-1)                                   # (blk, 4H) f32
+    dgx_ref[0] = dgate.astype(dgx_ref.dtype)
 
     # LayerNorm backward (feature axis = 4H lanes).
     if norm:
-        dxhat = dgate * gln_ref[:]
+        dxhat = dgate * gln_ref[:].astype(jnp.float32)
         m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
         m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
         dg_pre = rstd * (dxhat - m1 - xhat * m2)
     else:
         dg_pre = dgate
-    dgpre_ref[0] = dg_pre
+    dgpre_ref[0] = dg_pre.astype(dgpre_ref.dtype)
 
     # Carry to step t-1: dh via Wh^T (MXU), dc via the forget gate.
     dh_scr[:] = jax.lax.dot_general(
-        dg_pre, wh_ref[:], (((1,), (1,)), ((), ())),
+        dg_pre.astype(wh_ref.dtype), wh_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=None)
     dc_scr[:] = dc * sf
-    # Last write (t = 0) wins: these constant-index blocks flush at grid end.
-    dh0_ref[:] = dh_scr[:]
-    dc0_ref[:] = dc_scr[:]
+
+    # Constant-index blocks flush at grid end; write once at t = 0 (saves
+    # two (blk, H) VPU copies on every other step).
+    @pl.when(s == S - 1)
+    def _flush_state():
+        dh0_ref[:] = dh_scr[:].astype(dh0_ref.dtype)
+        dc0_ref[:] = dc_scr[:].astype(dc0_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("norm",))
@@ -253,8 +275,10 @@ def _bwd_impl(gx, gh_pre_seq, c_prev, c_seq, dy, wh, gln, bln, dhn, dcn,
               norm: bool):
     S, B, H4 = gx.shape
     H = H4 // 4
-    blk = _pick_blk_b(B, H, n_bufs=18)
-    kernel = functools.partial(_bwd_kernel, H=H, norm=norm)
+    itemsize = gx.dtype.itemsize
+    blk = _pick_blk_b(B, H, n_bufs=18 if itemsize == 4 else 24,
+                      itemsize=itemsize)
+    kernel = functools.partial(_bwd_kernel, S=S, H=H, norm=norm)
     rev = lambda b, s: (S - 1 - s, b, 0)
     const_b = lambda b, s: (b, 0)
     full = lambda b, s: (0, 0)
@@ -313,16 +337,20 @@ def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
 
     @pl.when(s == 0)
     def _init_carry():
-        dh_scr[:] = dhn_ref[:]
-        dc_scr[:] = dcn_ref[:]
+        dh_scr[:] = dhn_ref[:].astype(jnp.float32)
+        dc_scr[:] = dcn_ref[:].astype(jnp.float32)
 
     @pl.when((b == 0) & (s == 0))
     def _init_accum():
         dgln_ref[:] = jnp.zeros_like(dgln_ref)
         dbln_ref[:] = jnp.zeros_like(dbln_ref)
 
+    # h_prev stays in the stream dtype for the MXU recompute (for bf16 this
+    # is exactly the rounding the forward's GEMM input saw); everything
+    # after the GEMM is f32.
     h_prev = jnp.where(t_is_0, h0_ref[:], yprev_ref[0])
-    c_prev = jnp.where(t_is_0, c0_ref[:], cprev_ref[0])
+    c_prev = jnp.where(t_is_0, c0_ref[:],
+                       cprev_ref[0]).astype(jnp.float32)
     blk = h_prev.shape[0]
     if B % blk:
         # Ragged last block: zero-substitute padding rows on load.  Stream
@@ -348,10 +376,11 @@ def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
         var = jnp.mean((gh_pre - mean) ** 2, axis=-1, keepdims=True)
         rstd = jax.lax.rsqrt(var + LAYERNORM_EPS)
         xhat = (gh_pre - mean) * rstd
-        gh = xhat * gln_ref[:] + bln_ref[:]
+        gh = (xhat * gln_ref[:].astype(jnp.float32)
+              + bln_ref[:].astype(jnp.float32))
     else:
         gh = gh_pre
-    gate = gx_ref[0] + gh
+    gate = gx_ref[0].astype(jnp.float32) + gh
     if valid is not None:
         gate = jnp.where(valid, gate, 0.0)      # NaN-proof transcendentals
     si = jax.nn.sigmoid(gate[:, :H])
@@ -362,7 +391,7 @@ def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
     tc = jnp.tanh(c_t)
 
     # Cell backward.
-    dh = dh_scr[:] + dy_ref[0]
+    dh = dh_scr[:] + dy_ref[0].astype(jnp.float32)
     if valid is not None:
         dh = jnp.where(valid, dh, 0.0)
     dc = dc_scr[:] + dh * so * (1.0 - tc * tc)
@@ -373,12 +402,12 @@ def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
         (dc * c_prev) * sf * (1.0 - sf),
         (dh * tc) * so * (1.0 - so),
         (dc * si) * (1.0 - su * su),
-    ], axis=-1)                                   # (blk, 4H)
-    dgx_ref[0] = dgate
+    ], axis=-1)                                   # (blk, 4H) f32
+    dgx_ref[0] = dgate.astype(dgx_ref.dtype)
 
-    # LayerNorm backward + in-VMEM param-grad accumulation.
+    # LayerNorm backward + in-VMEM param-grad accumulation (always f32).
     if norm:
-        dxhat = dgate * gln_ref[:]
+        dxhat = dgate * gln_ref[:].astype(jnp.float32)
         m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
         m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
         dg_pre = rstd * (dxhat - m1 - xhat * m2)
@@ -386,39 +415,45 @@ def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
         dbln_ref[:] += jnp.sum(dgate, axis=0, keepdims=True)
     else:
         dg_pre = dgate
-    dgpre_ref[0] = dg_pre
+    dgpre_ref[0] = dg_pre.astype(dgpre_ref.dtype)
 
     # Carry to step t-1: dh via Wh^T (MXU), dc via the forget gate.
     dh_scr[:] = jax.lax.dot_general(
-        dg_pre, wh_ref[:], (((1,), (1,)), ((), ())),
+        dg_pre.astype(wh_ref.dtype), wh_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=None)
     dc_scr[:] = dc * sf
-    # Last write (t = 0) wins: these constant-index blocks flush at grid end.
-    dh0_ref[:] = dh_scr[:]
-    dc0_ref[:] = dc_scr[:]
+
+    # Constant-index blocks flush at grid end; write once at t = 0.
+    @pl.when(t_is_0)
+    def _flush_state():
+        dh0_ref[:] = dh_scr[:].astype(dh0_ref.dtype)
+        dc0_ref[:] = dc_scr[:].astype(dc0_ref.dtype)
 
 
-# V2 VMEM model: Wh resident ((H,4H) f32) + ~12 double-buffered (blk, 4H)-
-# equivalent stream buffers (gx in, dgx/dgpre out, y/c/dy shifted streams)
-# + ~6 live (blk, 4H) temporaries (gh_pre/xhat/gate/dgate/dxhat/dg_pre).
-def _v2_vmem_bytes(blk: int, H: int) -> int:
-    return (H * 4 * H + 18 * blk * 4 * H) * 4
+# V2 VMEM model: Wh resident ((H,4H), stream dtype) + ~12 double-buffered
+# (blk, 4H)-equivalent stream buffers (gx in, dgx/dgpre out, y/c/dy shifted
+# streams — stream dtype) + ~6 live (blk, 4H) f32 gate-math temporaries
+# (gh_pre/xhat/gate/dgate/dxhat/dg_pre — always f32 regardless of streams).
+def _v2_vmem_bytes(blk: int, H: int, itemsize: int = 4) -> int:
+    return (H * 4 * H + 12 * blk * 4 * H) * itemsize + 6 * blk * 4 * H * 4
 
 
 _V2_VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def _bwd_fits_v2(B: int, H: int) -> bool:
+def _bwd_fits_v2(B: int, H: int, itemsize: int = 4) -> bool:
     # B gate: V2 trades one extra per-step MXU product (the gh_pre
     # recompute) for ~2x less HBM traffic — a win only when the streams are
     # big enough to dominate (measured v5e fwd+grad: S=32,B=256,H=512,L=2:
     # 2263 vs 2673 us; S=64,B=3,H=384,L=3: 409 vs 373 us).
-    return B >= 64 and _v2_vmem_bytes(_pick_blk_b_v2(B, H), H) <= _V2_VMEM_BUDGET
+    return (B >= 64 and
+            _v2_vmem_bytes(_pick_blk_b_v2(B, H, itemsize), H, itemsize)
+            <= _V2_VMEM_BUDGET)
 
 
-def _pick_blk_b_v2(B: int, H: int) -> int:
+def _pick_blk_b_v2(B: int, H: int, itemsize: int = 4) -> int:
     blk = min(B, 256)
-    while blk > 8 and _v2_vmem_bytes(blk, H) > _V2_VMEM_BUDGET:
+    while blk > 8 and _v2_vmem_bytes(blk, H, itemsize) > _V2_VMEM_BUDGET:
         blk //= 2
     return max(blk, 8)
 
@@ -428,7 +463,7 @@ def _bwd_impl_v2(gx, y, c_seq, dy, wh, gln, bln, h0, c0, dhn, dcn,
                  norm: bool):
     S, B, H4 = gx.shape
     H = H4 // 4
-    blk = _pick_blk_b_v2(B, H)
+    blk = _pick_blk_b_v2(B, H, gx.dtype.itemsize)
     kernel = functools.partial(_bwd_kernel_v2, S=S, B=B, H=H, norm=norm)
     rev = lambda b, s: (S - 1 - s, b, 0)
     # Stream at t-1 (clamped at 0; the t==0 step selects h0/c0 in-kernel).
@@ -483,7 +518,7 @@ def _layer_bwd(norm: bool, res, ct):
     gx, wh, gln, bln, h0, c0, y, c_seq = res
     dy, dhn, dcn = ct
     B, H = h0.shape
-    if _bwd_fits_v2(B, H):
+    if _bwd_fits_v2(B, H, gx.dtype.itemsize):
         dgx, dg_pre_seq, dgln, dbln, dh0, dc0 = _bwd_impl_v2(
             gx, y, c_seq, dy, wh, gln, bln, h0, c0, dhn, dcn, norm)
         # dWh as two sequence-wide MXU GEMMs on the un-shifted stashes
@@ -503,11 +538,14 @@ def _layer_bwd(norm: bool, res, ct):
     if norm:
         # xhat recomputed sequence-wide (one fused elementwise+reduce pass
         # over (S, B, 4H)); dgamma = sum(dgate * xhat), dbeta = sum(dgate).
-        mean = jnp.mean(gh_pre_seq, axis=-1, keepdims=True)
-        var = jnp.mean((gh_pre_seq - mean) ** 2, axis=-1, keepdims=True)
-        xhat = (gh_pre_seq - mean) * jax.lax.rsqrt(var + LAYERNORM_EPS)
-        dgln = jnp.sum(dgx * xhat, axis=(0, 1)).astype(gln.dtype)
-        dbln = jnp.sum(dgx, axis=(0, 1)).astype(bln.dtype)
+        # Stats and reductions in f32 even for bf16 streams.
+        ghp32 = gh_pre_seq.astype(jnp.float32)
+        mean = jnp.mean(ghp32, axis=-1, keepdims=True)
+        var = jnp.mean((ghp32 - mean) ** 2, axis=-1, keepdims=True)
+        xhat = (ghp32 - mean) * jax.lax.rsqrt(var + LAYERNORM_EPS)
+        dgx32 = dgx.astype(jnp.float32)
+        dgln = jnp.sum(dgx32 * xhat, axis=(0, 1)).astype(gln.dtype)
+        dbln = jnp.sum(dgx32, axis=(0, 1)).astype(bln.dtype)
     else:
         dgln = jnp.zeros_like(gln)
         dbln = jnp.zeros_like(bln)
@@ -518,14 +556,16 @@ lstm_layer_fused.defvjp(_layer_fwd, _layer_bwd)
 
 
 def supports(S: int, B: int, H: int, dtype) -> bool:
-    """Fused-layer dispatch gate: TPU (or interpret mode), f32, H a lane
-    multiple, Wh resident in VMEM."""
+    """Fused-layer dispatch gate: TPU (or interpret mode), f32 or bf16
+    streams (gate math is always f32 in-kernel), H a lane multiple, Wh
+    resident in VMEM."""
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
+    itemsize = jnp.dtype(dtype).itemsize
     return ((on_tpu or _ls.INTERPRET)
-            and dtype == jnp.float32
+            and dtype in (jnp.float32, jnp.bfloat16)
             and H % 128 == 0
-            and H * 4 * H * 4 <= _WH_VMEM_BUDGET
+            and H * 4 * H * itemsize <= _WH_VMEM_BUDGET
             and S >= 8)

@@ -45,12 +45,17 @@ def bench_fn(fn, *args, k1: int = 10, k2: int = 110, reps: int = 4) -> float:
         @jax.jit
         def run():
             def body(i, carry):
+                # Perturb IN the input's own dtype: `x + f32_scalar` would
+                # silently upcast bf16 inputs to f32 and measure a different
+                # (dtype-dispatched) code path than the caller's.
                 perturbed = jax.tree.map(
-                    lambda x: x + carry * 1e-12 if jnp.issubdtype(
-                        jnp.asarray(x).dtype, jnp.floating) else x,
+                    lambda x: x + (carry * 1e-12).astype(x.dtype)
+                    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                    else x,
                     args[0])
                 out = fn(perturbed, *args[1:])
-                return jnp.sum(jax.tree.leaves(out)[0]) * 1e-12 + 1.0
+                return (jnp.sum(jax.tree.leaves(out)[0]).astype(jnp.float32)
+                        * 1e-12 + 1.0)
 
             return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
         return run

@@ -161,7 +161,7 @@ def test_lstm_layer_bwd_v2(interpret, f32_matmuls, key, monkeypatch,
     assert lstm_cell._bwd_fits_v2(B, H)
     if force_blk is not None:
         monkeypatch.setattr(lstm_cell, "_pick_blk_b_v2",
-                            lambda B_, H_: force_blk)
+                            lambda *a, **k: force_blk)
         assert B % force_blk != 0   # genuinely ragged
 
     ks = jax.random.split(key, 6)
@@ -199,3 +199,45 @@ def test_lstm_layer_bwd_v2(interpret, f32_matmuls, key, monkeypatch,
     g_r = jax.grad(loss(oracle))(args)
     for name, a, b in zip(["dgx", "dwh", "dgln", "dbln", "dh0", "dc0"], g_f, g_r):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_lstm_layer_kernel_bf16(interpret, key):
+    """bf16 streams route through the whole-layer kernel natively (bf16
+    HBM traffic + MXU, f32 gate math and h/c carry in scratch) and track
+    the f32 computation within bf16 tolerance, forward and grads."""
+    from di_hpc_tpu.network.lstm import lstm_fused
+    from di_hpc_tpu.origin.rnn import init_lstm_params, lstm
+    from di_hpc_tpu.pallas_kernels import lstm_cell
+
+    S, B, I, H, L = 8, 64, 32, 128, 2
+    assert lstm_cell.supports(S, B, H, jnp.bfloat16)
+    params32 = init_lstm_params(key, I, H, L, "LN")
+    params16 = jax.tree.map(lambda v: v.astype(jnp.bfloat16), params32)
+    x32 = jax.random.normal(jax.random.split(key)[0], (S, B, I))
+    x16 = x32.astype(jnp.bfloat16)
+
+    y32, _ = lstm(params32, x32, None, "LN")
+    y16, (h16, c16) = lstm_fused(params16, x16, None, "LN")
+    assert y16.dtype == jnp.bfloat16 and h16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y16, np.float32), np.asarray(y32),
+                               rtol=0.15, atol=0.15)
+
+    def loss16(p):
+        y, (h, c) = lstm_fused(p, x16, None, "LN")
+        return jnp.sum(y.astype(jnp.float32) ** 2) + jnp.sum(
+            (h * c).astype(jnp.float32))
+
+    def loss32(p):
+        y, (h, c) = lstm(p, x32, None, "LN")
+        return jnp.sum(y ** 2) + jnp.sum(h * c)
+
+    g16 = jax.grad(loss16)(params16)
+    g32 = jax.grad(loss32)(params32)
+    for a, b in zip(jax.tree.leaves(g16), jax.tree.leaves(g32)):
+        assert a.dtype == jnp.bfloat16
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.all(np.isfinite(a))
+        # bf16 grads through an 8-step recurrence: loose agreement only.
+        denom = max(1e-3, float(np.max(np.abs(b))))
+        assert float(np.max(np.abs(a - b))) / denom < 0.25
