@@ -22,6 +22,20 @@ XLA's fusion forward (208 vs 205us — both are bound by the 4 VPU cross-lane
 reductions at ~37us each, not by exp or HBM) and LOSES backward (Mosaic
 broadcasts (blk,1) row-vectors across lanes ~3x slower than XLA's fusion,
 303 vs 108us), so the kernel was retired (git history: profile_cat_* runs).
+
+A SECOND Pallas attempt (packed single-output, VPU reductions, log outside
+the kernel) was built and retired too.  What it established (v5e, R=65k,
+N=128): (a) in-VMEM cross-lane reductions cost only ~12us/pass at
+2048-row blocks — the ~37us/pass above is the per-pass HBM re-read, not
+VPU throughput; (b) (R, 1)-shaped kernel inputs/outputs are tile-padded by
+Mosaic and cost ~40-50us EACH in stream traffic; (c) MXU ones-dot
+reductions (~11us) buy nothing over the VPU and need a 3-term bf16 split
+for f32 accuracy; (d) Mosaic's in-kernel `log` is only ~1e-4 accurate.
+Decisive: the isolated-jnp 210us is NOT what callers pay — inside
+vtrace/ppo XLA fuses the head's passes with surrounding consumers to an
+effective ~90us/head, which the opaque kernel cannot cross-fuse against
+(kernel-headed vtrace fwd measured 345us vs 197us jnp).  Single-op Pallas
+only pays when the op is a whole fusion island (the LSTM layer, the scans).
 """
 
 from __future__ import annotations
