@@ -18,3 +18,15 @@ def test_impala_actor_learner_runs():
     from impala_actor_learner import run
     params = run(steps=3, T=4, env_batch=8, learn_batch=8)
     assert jax.tree.leaves(params)
+
+
+def test_ppo_training_runs():
+    from ppo_training import main
+    params = main(steps=2, epochs=2, T=8, B=16)
+    assert all(bool(jax.numpy.isfinite(p).all()) for p in jax.tree.leaves(params))
+
+
+def test_c51_training_runs():
+    from c51_training import main
+    params = main(steps=4, B=32)
+    assert all(bool(jax.numpy.isfinite(p).all()) for p in jax.tree.leaves(params))
