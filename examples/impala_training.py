@@ -28,14 +28,17 @@ def synthetic_batch(key, T, B, obs_dim, actions):
     )
 
 
-def main(steps: int = 20, T: int = 32, B: int = 64):
+def main(steps: int = 20, T: int = 32, B: int = 64, bf16: bool = False):
     cfg = ActorCriticConfig(obs_dim=64, hidden_size=128, num_layers=2,
                             action_dim=16)
     key = jax.random.PRNGKey(0)
     params = init_actor_critic(key, cfg)
     optimizer = optax.adam(3e-4)
     opt_state = optimizer.init(params)
-    step = jax.jit(make_train_step(cfg, optimizer))
+    # bf16: mixed precision (bf16 model compute incl. the LSTM kernel's
+    # native bf16 path; f32 master params, loss, and optimizer).
+    step = jax.jit(make_train_step(
+        cfg, optimizer, compute_dtype=jnp.bfloat16 if bf16 else None))
 
     n_dev = len(jax.devices())
     mesh = make_mesh() if n_dev > 1 else None
@@ -56,4 +59,5 @@ def main(steps: int = 20, T: int = 32, B: int = 64):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(bf16="--bf16" in sys.argv)

@@ -20,6 +20,11 @@ def test_impala_actor_learner_runs():
     assert jax.tree.leaves(params)
 
 
+def test_impala_training_bf16_runs():
+    from impala_training import main
+    main(steps=3, T=8, B=16, bf16=True)
+
+
 def test_ppo_training_runs():
     from ppo_training import main
     params = main(steps=2, epochs=2, T=8, B=16)
