@@ -85,8 +85,11 @@ def test_ppo_grads_flow_and_monitors_do_not(key):
         return pol + 0.5 * vl - 0.01 * el
 
     go_ln, go_vn = jax.grad(total_o, argnums=(0, 1))(ln, vn)
-    np.testing.assert_allclose(g_ln, go_ln, rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(g_vn, go_vn, rtol=1e-4, atol=1e-6)
+    # rtol 3e-4: fused head vs oracle use different logsumexp formulations,
+    # and TPU transcendentals differ at the ~1e-5 level between them
+    # (observed 2.0e-4 rel on 1/96 elements under DIHPC_TEST_TPU=1).
+    np.testing.assert_allclose(g_ln, go_ln, rtol=3e-4, atol=2e-6)
+    np.testing.assert_allclose(g_vn, go_vn, rtol=3e-4, atol=2e-6)
 
 
 def test_ppo_dual_clip_validation(key):
