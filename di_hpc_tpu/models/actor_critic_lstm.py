@@ -125,14 +125,16 @@ def make_train_step(
 
     def loss_fn(params, batch: TrainBatch):
         if compute_dtype is not None:
-            cast = lambda tree: jax.tree.map(
+            # Only the model forward runs in compute_dtype; the loss below
+            # deliberately reads the ORIGINAL f32 batch fields.
+            params_c = jax.tree.map(
                 lambda v: v.astype(compute_dtype)
-                if jnp.issubdtype(v.dtype, jnp.floating) else v, tree)
-            params_c, batch_c = cast(params), cast(batch)
+                if jnp.issubdtype(v.dtype, jnp.floating) else v, params)
+            obs_c = batch.obs.astype(compute_dtype)
         else:
-            params_c, batch_c = params, batch
+            params_c, obs_c = params, batch.obs
         logits, value, _ = actor_critic_forward(
-            params_c, batch_c.obs, None, cfg.norm_type)
+            params_c, obs_c, None, cfg.norm_type)
         T = batch.actions.shape[0]
         losses = vtrace_error(
             vtrace_data(logits[:T].astype(jnp.float32),

@@ -67,8 +67,9 @@ def _exact_onehot_einsum(subscripts: str, onehot: jax.Array, v: jax.Array,
     if v.dtype == jnp.bfloat16:
         return jnp.einsum(subscripts, onehot.astype(jnp.bfloat16), v,
                           preferred_element_type=jnp.float32).astype(out_dtype)
-    if jax.config.jax_default_matmul_precision in (
-            "float32", "highest", "tensorfloat32"):
+    # Only explicit full-f32 requests force HIGHEST; "tensorfloat32"/"high"
+    # ask for reduced precision, which X3 already exceeds.
+    if jax.config.jax_default_matmul_precision in ("float32", "highest"):
         prec = jax.lax.Precision.HIGHEST
     else:
         prec = jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3

@@ -49,7 +49,7 @@ def bench_fn(fn, *args, k1: int = 10, k2: int = 110, reps: int = 4) -> float:
                 # silently upcast bf16 inputs to f32 and measure a different
                 # (dtype-dispatched) code path than the caller's.
                 perturbed = jax.tree.map(
-                    lambda x: x + (carry * 1e-12).astype(x.dtype)
+                    lambda x: x + (carry * 1e-12).astype(jnp.asarray(x).dtype)
                     if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
                     else x,
                     args[0])
