@@ -146,6 +146,39 @@ def test_lstm_layer_kernel_routing(interpret, f32_matmuls, key):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("B,force_blk", [
+    (24, 16), (40, 32), (12, 8),
+    # odd/unaligned block: the halves gate must fall back to the single
+    # path (an unconditional split DROPPED row blk-1 — caught in review,
+    # reproduced as a NaN row at B=17)
+    (17, 17), (24, 24),
+])
+def test_lstm_layer_fwd_ragged_and_split_halves(interpret, key, monkeypatch,
+                                                B, force_blk):
+    """Forward kernel with a forced B-block: exercises the ragged last block
+    (B % blk != 0) and both sides of the split-halves MXU/VPU overlap gate
+    (halves engage at blk % 16 == 0 and blk >= 16; odd or 8-mod-16 blocks
+    take the single path)."""
+    from di_hpc_tpu.network.lstm import lstm_fused
+    from di_hpc_tpu.origin.rnn import init_lstm_params, lstm
+    from di_hpc_tpu.pallas_kernels import lstm_cell
+
+    monkeypatch.setattr(lstm_cell, "_pick_blk_b", lambda *a, **k: force_blk)
+    assert B % force_blk != 0 or B == force_blk
+    S, I, H, L = 8, 16, 128, 1
+    params = init_lstm_params(key, I, H, L, "LN")
+    ks = jax.random.split(key, 3)
+    x = jax.random.normal(ks[0], (S, B, I))
+    h0 = jax.random.normal(ks[1], (L, B, H))
+    c0 = jax.random.normal(ks[2], (L, B, H))
+
+    y_ref, (hn_ref, cn_ref) = lstm(params, x, (h0, c0), "LN")
+    y, (hn, cn) = lstm_fused(params, x, (h0, c0), "LN")
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(hn, hn_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(cn, cn_ref, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("S,B,H,force_blk", [
     (8, 64, 128, None),    # V2 path, single block
     (3, 88, 128, 16),      # V2 path, ragged blocks (88 % 16 = 8)
