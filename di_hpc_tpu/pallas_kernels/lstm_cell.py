@@ -80,46 +80,31 @@ def _layer_kernel(gx_ref, wh_ref, gln_ref, bln_ref, h0_ref, c0_ref,
     # casting h to the weight dtype at the GEMM input is exactly the
     # rounding the stored y stream sees, so the backward's recompute from y
     # matches the forward.
-    #
-    # The step's dependency chain GEMM -> LN -> gates is serial for a single
-    # block, idling the VPU during the MXU product and vice versa.  Split
-    # the B-block into two independent halves and issue both GEMMs first:
-    # half B's MXU product overlaps half A's LN/gate VPU work (the halves
-    # are data-independent within a step; the carry dependency is only
-    # step-to-step per half).  Split only when blk % 16 == 0: an odd blk
-    # would DROP row blk-1 (2*(blk//2) < blk), and hb must stay a sublane
-    # (8-row) multiple to keep the scratch slices tile-aligned.
-    blk = h_scr.shape[0]
-    halves = 2 if blk >= 16 and blk % 16 == 0 else 1
-    hb = blk // halves
-    slices = [slice(i * hb, (i + 1) * hb) for i in range(halves)]
-    gh_half = [
-        jax.lax.dot_general(
-            h_scr[sl].astype(wh_ref.dtype), wh_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=None)                        # (hb, 4H) on the MXU
-        for sl in slices
-    ]
-    for sl, gh in zip(slices, gh_half):
-        if norm:
-            gh = _ln(gh, gln_ref[:].astype(jnp.float32),
-                     bln_ref[:].astype(jnp.float32))
-        gate = gx_ref[0, sl].astype(jnp.float32) + gh
-        h_new, c_new = _gates(gate, c_scr[sl], H)
-        h_scr[sl] = h_new
-        c_scr[sl] = c_new
-        y_ref[0, sl] = h_new.astype(y_ref.dtype)
-        if stash:
-            # c_seq residual for the backward kernel only: inference calls
-            # skip this (S, B, H) HBM write entirely.
-            c_seq_ref[0, sl] = c_new.astype(c_seq_ref.dtype)
+    h = h_scr[:]                                   # (blkB, H) f32
+    c = c_scr[:]
+    gh = jax.lax.dot_general(
+        h.astype(wh_ref.dtype), wh_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=None)                            # (blkB, 4H) on the MXU
+    if norm:
+        gh = _ln(gh, gln_ref[:].astype(jnp.float32),
+                 bln_ref[:].astype(jnp.float32))
+    gate = gx_ref[0].astype(jnp.float32) + gh
+    h_new, c_new = _gates(gate, c, H)
+    h_scr[:] = h_new
+    c_scr[:] = c_new
+    y_ref[0] = h_new.astype(y_ref.dtype)
+    if stash:
+        # c_seq residual for the backward kernel only: inference calls skip
+        # this (S, B, H) HBM write entirely.
+        c_seq_ref[0] = c_new.astype(c_seq_ref.dtype)
 
     # Constant block index over s: stays in VMEM, flushed once per B-block.
     # Writing only on the final step saves two (blk, H) VPU copies per step.
     @pl.when(s == S - 1)
     def _flush_state():
-        hn_ref[:] = h_scr[:].astype(hn_ref.dtype)
-        cn_ref[:] = c_scr[:].astype(cn_ref.dtype)
+        hn_ref[:] = h_new.astype(hn_ref.dtype)
+        cn_ref[:] = c_new.astype(cn_ref.dtype)
 
 
 def _pick_blk_b(B: int, H: int, n_bufs: int = 10, itemsize: int = 4) -> int:
