@@ -53,6 +53,7 @@ def _remaining():
 
 
 _details: dict = {}
+_TOTAL_STAGES = 10  # keep in sync with the run_stage calls in main()
 _emitted = threading.Lock()
 
 
@@ -71,6 +72,11 @@ def _emit_result_and_exit(exit_code=0):
         "details": {k: {kk: round(vv, 3) for kk, vv in v.items()}
                     for k, v in _details.items()},
     }
+    if len(_details) < _TOTAL_STAGES:
+        # Self-describing partial run (slow tunnel pool / watchdog): the
+        # geomean then covers only the completed stages.
+        result["partial"] = True
+        result["stages_completed"] = len(_details)
     print(json.dumps(result), flush=True)
     if exit_code is not None:
         os._exit(exit_code)

@@ -127,7 +127,10 @@ def _layer_impl(gx, wh, gln, bln, h0, c0, norm: bool, stash: bool = True):
     S, B, H4 = gx.shape
     H = H4 // 4
     # bf16 streams halve buffer bytes but the f32 gate-math temporaries do
-    # not shrink: fold them in as extra stream-equivalents.
+    # not shrink: fold them in as extra stream-equivalents.  A forward-only
+    # raise to blk=128 at H=512 f32 was re-measured NEUTRAL (851 -> 861 us
+    # fwd at S=32, B=256, L=2; bench_results/profile_fwd_blk.py) — the old
+    # "+9%" reading did not reproduce, so the shared picker stands.
     itemsize = gx.dtype.itemsize
     blk = _pick_blk_b(B, H, n_bufs=10 if itemsize == 4 else 16,
                       itemsize=itemsize)
