@@ -153,8 +153,8 @@ def test_lstm_layer_kernel_routing(interpret, f32_matmuls, key):
     # reproduced as a NaN row at B=17)
     (17, 17), (24, 24),
 ])
-def test_lstm_layer_fwd_ragged_and_split_halves(interpret, key, monkeypatch,
-                                                B, force_blk):
+def test_lstm_layer_fwd_ragged_and_split_halves(interpret, f32_matmuls, key,
+                                                monkeypatch, B, force_blk):
     """Forward kernel with a forced B-block: exercises the ragged last block
     (B % blk != 0) and both sides of the split-halves MXU/VPU overlap gate
     (halves engage at blk % 16 == 0 and blk >= 16; odd or 8-mod-16 blocks
