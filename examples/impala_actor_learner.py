@@ -2,10 +2,13 @@
 
 Exercises the complete framework surface end to end:
  - actor thread: `models.actor_step` (donated LSTM state, categorical
-   sampling) rolls out a toy linear-dynamics environment and pushes
-   trajectories into `data.TrajectoryBuffer`;
+   sampling) rolls out a toy linear-dynamics environment ON THE HOST CPU
+   device and pushes trajectories into `data.TrajectoryBuffer`;
  - learner: pops FIFO batches (time-major, one device transfer, optionally
-   mesh-sharded) and applies the fused V-trace training step.
+   mesh-sharded) and applies the fused V-trace training step on the
+   accelerator, publishing host param copies for the actor each step —
+   the standard IMPALA actor/learner device split (only the learner thread
+   ever touches the accelerator; a tunneled TPU client is not thread-safe).
 
 Run: `python examples/impala_actor_learner.py`
      (JAX_PLATFORMS=cpu also works; uses all visible devices for data
@@ -61,21 +64,54 @@ def run(steps: int = 30, T: int = 16, env_batch: int = 32, learn_batch: int = 32
     n_dev = len(jax.devices())
     mesh = make_mesh() if n_dev > 1 and learn_batch % n_dev == 0 else None
     stop = threading.Event()
+    actor_exc = []
+
+    # Actors run inference on the HOST CPU device, the learner on the
+    # accelerator — the standard IMPALA split (and the accelerator client is
+    # not assumed thread-safe: concurrent two-thread access to a tunneled
+    # TPU fails).  Params are synced actor-side once per rollout — exactly
+    # the off-policy staleness V-trace's importance weights correct for.
+    cpu = jax.devices("cpu")[0]
+
+    def zero_state():
+        # actor_step DONATES the state, so every call site needs a fresh one.
+        # np.zeros, not jnp.zeros: the latter would materialize on the
+        # default (accelerator) device first — not actor-thread-safe.
+        z = np.zeros((cfg.num_layers, env_batch, cfg.hidden_size), np.float32)
+        return jax.device_put((z, z), cpu)
+
+    # Only the learner thread touches the accelerator; it publishes host
+    # copies of the params here for the actor to pick up.
+    shared = {"params": jax.device_get(params)}
+
+    # Compile the actor step BEFORE starting the threads so the first
+    # learner sample_batch timeout is not spent inside a compile.
+    actor_step(jax.device_put(shared["params"], cpu),
+               jax.device_put(np.zeros((env_batch, cfg.obs_dim), np.float32),
+                              cpu),
+               zero_state(), jax.device_put(jax.random.PRNGKey(0), cpu),
+               cfg.norm_type)
+
+    actor_rng0 = jax.device_put(jax.random.PRNGKey(1), cpu)  # main thread
 
     def actor_loop():
         env = ToyEnv(env_batch, cfg.obs_dim, cfg.action_dim)
-        rng = jax.random.PRNGKey(1)
-        state = (jnp.zeros((cfg.num_layers, env_batch, cfg.hidden_size)),
-                 jnp.zeros((cfg.num_layers, env_batch, cfg.hidden_size)))
+        rng = actor_rng0
+        state = zero_state()
         obs = env.state.copy()
         while not stop.is_set():
+            # Per-rollout param sync (host-to-host; the learner published it).
+            p_host = jax.device_put(shared["params"], cpu)
             obs_seq, act_seq, rew_seq, logit_seq = [obs], [], [], []
             for _ in range(T):
                 if stop.is_set():
                     return
                 rng, sub = jax.random.split(rng)
+                # device_put straight from numpy: jnp.asarray would first
+                # materialize on the default (accelerator) device.
                 a, logits, _v, state = actor_step(
-                    params, jnp.asarray(obs), state, sub, cfg.norm_type)
+                    p_host, jax.device_put(obs, cpu), state,
+                    sub, cfg.norm_type)
                 a_np = np.asarray(a)
                 obs, r = env.step(a_np)
                 obs_seq.append(obs)
@@ -90,12 +126,23 @@ def run(steps: int = 30, T: int = 16, env_batch: int = 32, learn_batch: int = 32
                     "behaviour_logits": np.stack([l[b] for l in logit_seq]),
                 })
 
-    actor = threading.Thread(target=actor_loop, daemon=True)
+    def actor_main():
+        try:
+            actor_loop()
+        except Exception as e:  # surfaced by the learner on its next sample
+            actor_exc.append(e)
+
+    actor = threading.Thread(target=actor_main, daemon=True)
     actor.start()
 
     try:
         for i in range(steps):
-            batch = buf.sample_batch(learn_batch, mesh=mesh, timeout=60.0)
+            try:
+                batch = buf.sample_batch(learn_batch, mesh=mesh, timeout=60.0)
+            except TimeoutError:
+                if actor_exc:
+                    raise RuntimeError("actor thread died") from actor_exc[0]
+                raise
             tb = TrainBatch(
                 obs=batch["obs"],
                 actions=batch["action"],
@@ -106,6 +153,7 @@ def run(steps: int = 30, T: int = 16, env_batch: int = 32, learn_batch: int = 32
                 tb = shard_batch_pytree(mesh, tb, TrainBatch(1, 1, 1, 1))
             params_new, opt_state, metrics = train(params, opt_state, tb)
             params = params_new
+            shared["params"] = jax.device_get(params)   # publish for actors
             if i % 5 == 0 or i == steps - 1:
                 print(f"step {i:3d}  total={float(metrics['total_loss']):+.4f}  "
                       f"entropy={float(metrics['entropy']):.3f}  "
