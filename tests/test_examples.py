@@ -35,3 +35,9 @@ def test_c51_training_runs():
     from c51_training import main
     params = main(steps=4, B=32)
     assert all(bool(jax.numpy.isfinite(p).all()) for p in jax.tree.leaves(params))
+
+
+def test_r2d2_training_runs():
+    from r2d2_training import main
+    params = main(steps=3, S=12, burn_in=3, B=8, hidden=32, nstep=2)
+    assert all(bool(jax.numpy.isfinite(p).all()) for p in jax.tree.leaves(params))
