@@ -92,9 +92,13 @@ def select_entities(
         choice = jnp.where(done, entity_num, choice).astype(jnp.int32)
         is_end = choice == entity_num
         ae_new = update_ae(ae, key_embeddings, choice, entity_num)
-        # An entity can be selected once.
-        avail = avail & (jax.lax.broadcasted_iota(jnp.int32, avail.shape, 1)
-                         != choice[:, None])
+        # An entity can be selected once; the end sentinel stays available
+        # forever (so its log-prob is finite at every step — a policy-
+        # gradient loss on the selection logits needs logp('end') to be a
+        # real number, not the pre_sample mask value).
+        col_sel = jax.lax.broadcasted_iota(jnp.int32, avail.shape, 1)
+        avail = avail & ((col_sel != choice[:, None])
+                         | (col_sel == entity_num[:, None]))
         done_new = done | is_end
         h_out = jnp.where(done[:, None], h, h_new)
         c_out = jnp.where(done[:, None], c, c_new)

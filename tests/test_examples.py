@@ -41,3 +41,9 @@ def test_r2d2_training_runs():
     from r2d2_training import main
     params = main(steps=3, S=12, burn_in=3, B=8, hidden=32, nstep=2)
     assert all(bool(jax.numpy.isfinite(p).all()) for p in jax.tree.leaves(params))
+
+
+def test_alphastar_policy_training_runs():
+    from alphastar_policy_training import main
+    params = main(steps=2, T=6, B=4, M=16, Hc=128, max_selections=4)
+    assert all(bool(jax.numpy.isfinite(p).all()) for p in jax.tree.leaves(params))
