@@ -47,3 +47,17 @@ def test_alphastar_policy_training_runs():
     from alphastar_policy_training import main
     params = main(steps=2, T=6, B=4, M=16, Hc=128, max_selections=4)
     assert all(bool(jax.numpy.isfinite(p).all()) for p in jax.tree.leaves(params))
+
+
+def test_quantile_dqn_training_runs():
+    from quantile_dqn_training import main
+    out = main(steps=3, B=16, n_tau=8, n_tau_prime=9, n_cos=16)
+    for params in out.values():
+        assert all(bool(jax.numpy.isfinite(p).all())
+                   for p in jax.tree.leaves(params))
+
+
+def test_episodic_a2c_padding_runs():
+    from episodic_a2c_padding import main
+    params = main(steps=3, n_eps=16, l_max=24)
+    assert all(bool(jax.numpy.isfinite(p).all()) for p in jax.tree.leaves(params))
