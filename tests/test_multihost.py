@@ -62,21 +62,23 @@ print("RESULT", pid, float(losses.policy_loss), float(losses.value_loss),
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="gloo/linux only")
-def test_two_process_data_parallel_vtrace(tmp_path):
+@pytest.mark.parametrize("n_proc,port", [(2, "12401"), (4, "12403")])
+def test_multi_process_data_parallel_vtrace(tmp_path, n_proc, port):
+    """2 procs x 2 devices and 4 procs x 2 devices (8-device global mesh):
+    every process must reproduce the single-process global-batch result."""
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     here = os.path.dirname(os.path.abspath(__file__))
-    port = "12401"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", port],
+            [sys.executable, str(worker), str(i), str(n_proc), port],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=os.path.dirname(here),
             env={**os.environ, "JAX_PLATFORMS": "cpu",
                  "PYTHONPATH": os.path.dirname(here) + os.pathsep
                  + os.environ.get("PYTHONPATH", "")},
         )
-        for i in range(2)
+        for i in range(n_proc)
     ]
     outs = []
     for p in procs:
@@ -90,8 +92,9 @@ def test_two_process_data_parallel_vtrace(tmp_path):
             if line.startswith("RESULT"):
                 _, pid, pg, vl, el = line.split()
                 results[int(pid)] = (float(pg), float(vl), float(el))
-    assert set(results) == {0, 1}, outs
-    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+    assert set(results) == set(range(n_proc)), outs
+    for pid in range(1, n_proc):
+        np.testing.assert_allclose(results[0], results[pid], rtol=1e-6)
 
     # single-process reference on the same global batch
     import jax
@@ -99,11 +102,12 @@ def test_two_process_data_parallel_vtrace(tmp_path):
     from di_hpc_tpu import ops as _ops
     rng = np.random.default_rng(0)
     T, Bl, N = 6, 4, 5
-    to = rng.standard_normal((T, 2 * Bl, N)).astype(np.float32)
-    bo = rng.standard_normal((T, 2 * Bl, N)).astype(np.float32)
-    act = rng.integers(0, N, size=(T, 2 * Bl)).astype(np.int32)
-    value = rng.standard_normal((T + 1, 2 * Bl)).astype(np.float32)
-    reward = rng.standard_normal((T, 2 * Bl)).astype(np.float32)
+    B = n_proc * Bl
+    to = rng.standard_normal((T, B, N)).astype(np.float32)
+    bo = rng.standard_normal((T, B, N)).astype(np.float32)
+    act = rng.integers(0, N, size=(T, B)).astype(np.int32)
+    value = rng.standard_normal((T + 1, B)).astype(np.float32)
+    reward = rng.standard_normal((T, B)).astype(np.float32)
     ref = _ops.vtrace_error(_ops.vtrace_data(
         jnp.asarray(to), jnp.asarray(bo), jnp.asarray(act),
         jnp.asarray(value), jnp.asarray(reward), None))
