@@ -114,7 +114,9 @@ def make_train_step(
     compute_dtype=None,
 ):
     """Builds a jittable (params, opt_state, batch) -> (params, opt_state,
-    metrics) V-trace training step.
+    metrics) V-trace training step.  Jit it with `donate_argnums=(0, 1)`
+    (as __graft_entry__ and the examples do) so params/opt_state update in
+    place on device.
 
     `compute_dtype=jnp.bfloat16` enables mixed precision: the model forward
     (embedding GEMMs + LSTM, where the FLOPs and HBM traffic are) runs in

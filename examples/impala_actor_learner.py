@@ -58,7 +58,8 @@ def run(steps: int = 30, T: int = 16, env_batch: int = 32, learn_batch: int = 32
     params = init_actor_critic(key, cfg)
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
-    train = jax.jit(make_train_step(cfg, optimizer, entropy_coef=0.02))
+    train = jax.jit(make_train_step(cfg, optimizer, entropy_coef=0.02),
+                    donate_argnums=(0, 1))
 
     buf = TrajectoryBuffer(capacity=256)
     n_dev = len(jax.devices())

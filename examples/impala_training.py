@@ -37,8 +37,11 @@ def main(steps: int = 20, T: int = 32, B: int = 64, bf16: bool = False):
     opt_state = optimizer.init(params)
     # bf16: mixed precision (bf16 model compute incl. the LSTM kernel's
     # native bf16 path; f32 master params, loss, and optimizer).
+    # donate params/opt_state: the step returns their replacements, so XLA
+    # updates them in place (halves peak param-side memory at scale).
     step = jax.jit(make_train_step(
-        cfg, optimizer, compute_dtype=jnp.bfloat16 if bf16 else None))
+        cfg, optimizer, compute_dtype=jnp.bfloat16 if bf16 else None),
+        donate_argnums=(0, 1))
 
     n_dev = len(jax.devices())
     mesh = make_mesh() if n_dev > 1 else None
