@@ -96,7 +96,14 @@ def main(steps: int = 10, n_eps: int = 48, obs_dim: int = 16, hidden: int = 64,
             h = jnp.tanh(obs @ p.w1 + p.b1)         # (T+1, B, hidden)
             value = h @ p.w_v                       # (T+1, B)
             logits = h[:-1] @ p.w_pi                # (T, B, A)
-            # Mask-weighted TD(lambda): padded steps contribute nothing.
+            # Zero the value at the terminal step and the padded tail: the
+            # lambda-return recursion runs over the full padded length, so
+            # an unmasked V on padded (all-zero) observations would leak
+            # into the return targets of real steps near each episode's end
+            # — and these episodes terminate, so V(terminal) = 0 is also
+            # the correct bootstrap.
+            value = value * jnp.concatenate([mask, jnp.zeros_like(mask[:1])])
+            # Mask-weighted TD(lambda): padded steps contribute no loss.
             v_loss = ops.td_lambda_error(
                 ops.td_lambda_data(value, rew, mask), gamma, lambda_)
             returns = ops.generalized_lambda_returns(

@@ -27,7 +27,7 @@ def _cast(tree, dtype):
         else x, tree)
 
 
-def _check(loss_fn, diff_args, f32_args, grad_wrt=0):
+def _check(loss_fn, f32_args, grad_wrt=0):
     """loss_fn(*args) -> scalar; compares f32 vs bf16 value + grad dtype."""
     bf_args = _cast(f32_args, BF16)
     v32 = loss_fn(*f32_args)
@@ -39,7 +39,6 @@ def _check(loss_fn, diff_args, f32_args, grad_wrt=0):
         for leaf in jax.tree.leaves(g):
             assert leaf.dtype == BF16, leaf.dtype
             assert bool(jnp.isfinite(leaf.astype(jnp.float32)).all())
-    del diff_args
 
 
 @pytest.fixture
@@ -55,7 +54,7 @@ def test_gae_bf16(k):
     def f(value, reward):
         return jnp.sum(ops.gae(ops.gae_data(value, reward)).astype(jnp.float32))
 
-    _check(f, None, (value, reward), grad_wrt=None)  # gae is forward-only
+    _check(f, (value, reward), grad_wrt=None)  # gae is forward-only
 
 
 def test_td_lambda_bf16(k):
@@ -67,7 +66,7 @@ def test_td_lambda_bf16(k):
         return ops.td_lambda_error(
             ops.td_lambda_data(value, reward, None)).astype(jnp.float32)
 
-    _check(f, None, (value, reward), grad_wrt=0)
+    _check(f, (value, reward), grad_wrt=0)
 
 
 def test_vtrace_bf16(k):
@@ -84,7 +83,7 @@ def test_vtrace_bf16(k):
         return (l.policy_loss + 0.5 * l.value_loss
                 - 0.01 * l.entropy_loss).astype(jnp.float32)
 
-    _check(f, None, (to, value), grad_wrt=(0, 1))
+    _check(f, (to, value), grad_wrt=(0, 1))
 
 
 def test_ppo_bf16(k):
@@ -104,7 +103,7 @@ def test_ppo_bf16(k):
                          ret.astype(ln.dtype), None), 0.2, True, None)
         return (pol + 0.5 * vl - 0.01 * el).astype(jnp.float32)
 
-    _check(f, None, (ln, vn), grad_wrt=(0, 1))
+    _check(f, (ln, vn), grad_wrt=(0, 1))
 
 
 def test_upgo_bf16(k):
@@ -120,7 +119,7 @@ def test_upgo_bf16(k):
                              reward.astype(to.dtype),
                              value.astype(to.dtype)).astype(jnp.float32)
 
-    _check(f, None, (to,), grad_wrt=0)
+    _check(f, (to,), grad_wrt=0)
 
 
 def test_q_nstep_bf16(k):
@@ -140,7 +139,7 @@ def test_q_nstep_bf16(k):
                 gamma=0.99, nstep=nstep)
             return loss.astype(jnp.float32)
 
-        _check(f, None, (q,), grad_wrt=0)
+        _check(f, (q,), grad_wrt=0)
 
 
 def test_dist_nstep_bf16(k):
@@ -160,7 +159,7 @@ def test_dist_nstep_bf16(k):
             gamma=0.99, v_min=-5.0, v_max=5.0, n_atom=n_atom, nstep=nstep)
         return loss.astype(jnp.float32)
 
-    _check(f, None, (dist,), grad_wrt=0)
+    _check(f, (dist,), grad_wrt=0)
 
 
 def test_qrdqn_iqn_bf16(k):
@@ -182,7 +181,7 @@ def test_qrdqn_iqn_bf16(k):
             gamma=0.99, nstep=nstep)
         return loss.astype(jnp.float32)
 
-    _check(f_qr, None, (q,), grad_wrt=0)
+    _check(f_qr, (q,), grad_wrt=0)
 
     qi = jax.random.normal(k[0], (tau, B, N))
     nqi = jax.random.normal(k[1], (tau + 1, B, N))
@@ -196,7 +195,7 @@ def test_qrdqn_iqn_bf16(k):
             gamma=0.99, nstep=nstep, kappa=1.0)
         return loss.astype(jnp.float32)
 
-    _check(f_iqn, None, (qi,), grad_wrt=0)
+    _check(f_iqn, (qi,), grad_wrt=0)
 
 
 def test_scatter_connection_bf16(k):
@@ -210,4 +209,4 @@ def test_scatter_connection_bf16(k):
         return jnp.sum(network.scatter_connection(
             x, (H, W), loc, "add").astype(jnp.float32) ** 2)
 
-    _check(f, None, (x,), grad_wrt=0)
+    _check(f, (x,), grad_wrt=0)
