@@ -35,8 +35,10 @@ def gae(data: gae_data, gamma: float = 0.99, lambda_: float = 0.97,
         method: Method = "auto") -> jax.Array:
     """value (T+1, B), reward (T, B) -> advantage (T, B)."""
     from di_hpc_tpu.ops._backend import fused_kernels_ok
+    from di_hpc_tpu.ops._validate import check_time_batch
 
     value, reward = data
+    check_time_batch("gae", value, reward)
     T = reward.shape[0]
 
     if fused_kernels_ok(value, reward, method=method):

@@ -37,6 +37,9 @@ def ppo_error(
         f"dual_clip value must be greater than 1.0, but get value: {dual_clip}"
     )
     logit_new, logit_old, action, value_new, value_old, adv, return_, weight = data
+    from di_hpc_tpu.ops._validate import check_ppo
+    check_ppo("ppo_error", logit_new, logit_old, action, value_new,
+              value_old, adv, return_, weight)
     if weight is None:
         weight = jnp.ones_like(adv)
 

@@ -83,8 +83,10 @@ def td_lambda_error(data: td_lambda_data, gamma: float = 0.9,
     rl_utils/td.py:160 vs td_lambda_kernel.h:24; we standardize on origin,
     origin/td.py:169-175)."""
     from di_hpc_tpu.ops._backend import fused_kernels_ok
+    from di_hpc_tpu.ops._validate import check_time_batch
 
     value, reward, weight = data
+    check_time_batch("td_lambda_error", value, reward, weight)
     if weight is None:
         weight = jnp.ones_like(reward)
 
@@ -104,13 +106,28 @@ def td_lambda_error(data: td_lambda_data, gamma: float = 0.9,
 # batch-bound TD ops: jit-fused oracle math
 # ---------------------------------------------------------------------------
 
-q_nstep_td_error = jax.jit(
-    _origin_td.q_nstep_td_error, static_argnames=("gamma", "nstep", "criterion")
-)
-q_nstep_td_error_with_rescale = jax.jit(
-    _origin_td.q_nstep_td_error_with_rescale,
-    static_argnames=("gamma", "nstep", "criterion", "trans_fn", "inv_trans_fn"),
-)
+@functools.partial(
+    jax.jit, static_argnames=("gamma", "nstep", "criterion"))
+def q_nstep_td_error(data: q_nstep_td_data, gamma: float, nstep: int = 1,
+                     criterion=_origin_td._mse):
+    from di_hpc_tpu.ops._validate import check_nstep
+    check_nstep("q_nstep_td_error", *data, nstep=nstep)
+    return _origin_td.q_nstep_td_error(data, gamma, nstep, criterion)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gamma", "nstep", "criterion", "trans_fn", "inv_trans_fn"))
+def q_nstep_td_error_with_rescale(
+    data: q_nstep_td_data, gamma: float, nstep: int = 1,
+    criterion=_origin_td._mse,
+    trans_fn=_origin_td.value_transform,
+    inv_trans_fn=_origin_td.value_inv_transform,
+):
+    from di_hpc_tpu.ops._validate import check_nstep
+    check_nstep("q_nstep_td_error_with_rescale", *data, nstep=nstep)
+    return _origin_td.q_nstep_td_error_with_rescale(
+        data, gamma, nstep, criterion, trans_fn, inv_trans_fn)
 def _gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
     """x (B, N, A) -> x[b, idx[b], :] (B, A) via iota-compare-sum.
 
@@ -144,6 +161,12 @@ def dist_nstep_td_error(
     and 6x/100x faster forward/backward at the reference config.
     """
     dist, next_n_dist, act, next_n_act, reward, done, weight = data
+    from di_hpc_tpu.ops._validate import check_nstep, _fail
+    check_nstep("dist_nstep_td_error", dist, next_n_dist, act, next_n_act,
+                reward, done, weight, nstep=nstep, q_ndim=3)
+    if dist.shape[-1] != n_atom:
+        _fail("dist_nstep_td_error",
+              f"dist's last axis must equal n_atom={n_atom}; got {dist.shape}")
     B = act.shape[0]
     r = _origin_td._discounted_reward_sum(reward, gamma)[:, None]  # (B, 1)
     done_f = done.astype(dist.dtype)[:, None]
@@ -175,12 +198,29 @@ def dist_nstep_td_error(
     return loss, td_error_per_sample
 
 
-qrdqn_nstep_td_error = jax.jit(
-    _origin_td.qrdqn_nstep_td_error, static_argnames=("gamma", "nstep")
-)
-iqn_nstep_td_error = jax.jit(
-    _origin_td.iqn_nstep_td_error, static_argnames=("gamma", "nstep", "kappa")
-)
+@functools.partial(jax.jit, static_argnames=("gamma", "nstep"))
+def qrdqn_nstep_td_error(data: qrdqn_nstep_td_data, gamma: float,
+                         nstep: int = 1, value_gamma=None):
+    from di_hpc_tpu.ops._validate import check_nstep
+    check_nstep("qrdqn_nstep_td_error", data.q, data.next_n_q, data.action,
+                data.next_n_action, data.reward, data.done, data.weight,
+                nstep=nstep, q_ndim=3)
+    return _origin_td.qrdqn_nstep_td_error(data, gamma, nstep, value_gamma)
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "nstep", "kappa"))
+def iqn_nstep_td_error(data: iqn_nstep_td_data, gamma: float, nstep: int = 1,
+                       kappa: float = 1.0, value_gamma=None):
+    from di_hpc_tpu.ops._validate import check_nstep, _fail
+    check_nstep("iqn_nstep_td_error", data.q, data.next_n_q, data.action,
+                data.next_n_action, data.reward, data.done, data.weight,
+                nstep=nstep, q_ndim=3, batch_axis=1)   # IQN layout (tau, B, N)
+    if data.replay_quantiles.shape != data.q.shape[:2]:
+        _fail("iqn_nstep_td_error",
+              f"replay_quantiles must have shape (tau, B) = {data.q.shape[:2]};"
+              f" got {data.replay_quantiles.shape}")
+    return _origin_td.iqn_nstep_td_error(data, gamma, nstep, kappa,
+                                         value_gamma)
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,10 @@ def upgo_loss(
     method: Method = "auto",
 ) -> jax.Array:
     from di_hpc_tpu.ops.categorical import logp
+    from di_hpc_tpu.ops._validate import check_upgo
+
+    check_upgo("upgo_loss", target_output, rhos, action, rewards,
+               bootstrap_values)
 
     v = jax.lax.stop_gradient(bootstrap_values)
     returns = upgo_returns(jax.lax.stop_gradient(rewards), v, method=method)

@@ -37,8 +37,11 @@ def vtrace_error(
 ) -> vtrace_loss:
     from di_hpc_tpu.ops._backend import fused_kernels_ok
     from di_hpc_tpu.ops.categorical import logp, logp_entropy
+    from di_hpc_tpu.ops._validate import check_vtrace
 
     target_output, behaviour_output, action, value, reward, weight = data
+    check_vtrace("vtrace_error", target_output, behaviour_output, action,
+                 value, reward, weight)
 
     # Fused head: one pass over the target logits yields both the log-prob
     # (grad path) and the entropy.

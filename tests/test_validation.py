@@ -1,0 +1,118 @@
+"""Op-named trace-time input validation (SURVEY.md §5.3: the TPU-native
+equivalent of the reference's CHECK_INPUT guards, status.h:15-17).
+
+Malformed shapes must raise a ValueError naming the op and the offending
+argument — not a cryptic XLA broadcast error deep inside the fusion."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from di_hpc_tpu import ops, origin
+
+T, B, N = 6, 4, 5
+
+
+def z(*s):
+    return jnp.zeros(s)
+
+
+def zi(*s):
+    return jnp.zeros(s, jnp.int32)
+
+
+def test_gae_value_shape():
+    with pytest.raises(ValueError, match="gae: value"):
+        ops.gae(ops.gae_data(z(T, B), z(T, B)))   # value must be (T+1, B)
+
+
+def test_td_lambda_weight_shape():
+    with pytest.raises(ValueError, match="td_lambda_error: weight"):
+        ops.td_lambda_error(ops.td_lambda_data(z(T + 1, B), z(T, B),
+                                               z(T + 1, B)))
+
+
+def test_vtrace_behaviour_mismatch():
+    with pytest.raises(ValueError, match="vtrace_error: behaviour_output"):
+        ops.vtrace_error(ops.vtrace_data(
+            z(T, B, N), z(T, B, N + 1), zi(T, B), z(T + 1, B), z(T, B), None))
+
+
+def test_vtrace_float_action():
+    with pytest.raises(ValueError, match="vtrace_error: action"):
+        ops.vtrace_error(ops.vtrace_data(
+            z(T, B, N), z(T, B, N), z(T, B), z(T + 1, B), z(T, B), None))
+
+
+def test_upgo_bootstrap_shape():
+    with pytest.raises(ValueError, match="upgo_loss: bootstrap_values"):
+        ops.upgo_loss(z(T, B, N), z(T, B), zi(T, B), z(T, B), z(T, B))
+
+
+def test_ppo_value_shape():
+    with pytest.raises(ValueError, match="ppo_error: value_old"):
+        ops.ppo_error(ops.ppo_data(z(B, N), z(B, N), zi(B), z(B), z(B + 1),
+                                   z(B), z(B), None))
+
+
+def test_q_nstep_reward_nstep_mismatch():
+    with pytest.raises(ValueError, match="q_nstep_td_error: reward"):
+        ops.q_nstep_td_error(
+            origin.q_nstep_td_data(z(B, N), z(B, N), zi(B), zi(B), z(2, B),
+                                   z(B), None), gamma=0.99, nstep=3)
+
+
+def test_rescale_action_shape():
+    with pytest.raises(ValueError,
+                       match="q_nstep_td_error_with_rescale: action"):
+        ops.q_nstep_td_error_with_rescale(
+            origin.q_nstep_td_data(z(B, N), z(B, N), zi(B + 1), zi(B),
+                                   z(1, B), z(B), None), gamma=0.99)
+
+
+def test_dist_nstep_n_atom_mismatch():
+    with pytest.raises(ValueError, match="dist_nstep_td_error: dist"):
+        ops.dist_nstep_td_error(
+            origin.dist_nstep_td_data(z(B, N, 11), z(B, N, 11), zi(B), zi(B),
+                                      z(1, B), z(B), None),
+            gamma=0.99, v_min=-5.0, v_max=5.0, n_atom=21)
+
+
+def test_qrdqn_rank():
+    with pytest.raises(ValueError, match="qrdqn_nstep_td_error: q"):
+        ops.qrdqn_nstep_td_error(
+            origin.qrdqn_nstep_td_data(z(B, N), z(B, N), zi(B), zi(B),
+                                       z(1, B), z(B), z(3), None), gamma=0.99)
+
+
+def test_iqn_replay_quantiles():
+    tau = 3
+    with pytest.raises(ValueError,
+                       match="iqn_nstep_td_error: replay_quantiles"):
+        ops.iqn_nstep_td_error(
+            origin.iqn_nstep_td_data(z(tau, B, N), z(tau, B, N), zi(B), zi(B),
+                                     z(1, B), z(B), z(tau + 1, B), None),
+            gamma=0.99)
+
+
+def test_valid_calls_still_work():
+    """The happy paths must be untouched (and checks are trace-time only)."""
+    adv = ops.gae(ops.gae_data(z(T + 1, B), z(T, B)))
+    assert adv.shape == (T, B)
+    losses = ops.vtrace_error(ops.vtrace_data(
+        z(T, B, N), z(T, B, N), zi(T, B), z(T + 1, B), z(T, B), None))
+    assert jnp.isfinite(losses.policy_loss)
+
+
+def test_vmapped_q_nstep_still_works():
+    """Relative-shape checks hold under vmap (the R2D2 window pattern)."""
+    W = 3
+    data = origin.q_nstep_td_data(z(W, B, N), z(W, B, N), zi(W, B), zi(W, B),
+                                  z(W, 2, B), z(W, B), None)
+    loss, td = jax.vmap(
+        lambda q, nq, a, na, r, d: ops.q_nstep_td_error(
+            origin.q_nstep_td_data(q, nq, a, na, r, d, None),
+            gamma=0.99, nstep=2)
+    )(data.q, data.next_n_q, data.action, data.next_n_action, data.reward,
+      data.done)
+    assert loss.shape == (W,) and td.shape == (W, B)
