@@ -92,13 +92,25 @@ def lstm_fused(
     remat: bool = False,
 ):
     """Returns (output (S, B, H), (h (L, B, H), c (L, B, H)))."""
+    from di_hpc_tpu.ops._validate import _fail
+    if inputs.ndim != 3:
+        _fail("lstm_fused",
+              f"inputs must be (S, B, input_size); got {inputs.shape}")
     S, B = inputs.shape[:2]
     L = len(params.wx)
     H = params.wh[0].shape[0]
+    if inputs.shape[2] != params.wx[0].shape[0]:
+        _fail("lstm_fused",
+              f"inputs feature dim {inputs.shape[2]} != layer-0 wx input dim "
+              f"{params.wx[0].shape[0]}")
     if prev_state is None:
         zeros = jnp.zeros((L, B, H), inputs.dtype)
         prev_state = (zeros, zeros)
     H0, C0 = prev_state
+    if H0.shape != (L, B, H) or C0.shape != (L, B, H):
+        _fail("lstm_fused",
+              f"prev_state arrays must have shape (L, B, H) = {(L, B, H)}; "
+              f"got {H0.shape} and {C0.shape}")
 
     x = inputs
     hs, cs = [], []

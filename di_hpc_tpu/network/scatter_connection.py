@@ -82,6 +82,19 @@ def _exact_onehot_einsum(subscripts: str, onehot: jax.Array, v: jax.Array,
 def scatter_connection(x: jax.Array, spatial_size: Tuple[int, int],
                        location: jax.Array, scatter_type: str = "cover") -> jax.Array:
     """(B, M, N) entities + (B, M, 2) (y, x) locations -> (B, N, H, W)."""
+    from di_hpc_tpu.ops._validate import _fail, _is_int
+    if x.ndim != 3:
+        _fail("scatter_connection", f"x must be (B, M, N); got {x.shape}")
+    if location.shape != x.shape[:2] + (2,):
+        _fail("scatter_connection",
+              f"location must have shape {x.shape[:2] + (2,)} ((B, M, 2) "
+              f"(y, x) pairs); got {location.shape}")
+    if not _is_int(location):
+        _fail("scatter_connection", "location must be an integer array; got "
+              f"dtype {location.dtype}")
+    if scatter_type not in ("cover", "add"):
+        _fail("scatter_connection",
+              f"scatter_type must be 'cover' or 'add'; got {scatter_type!r}")
     return _scatter_impl(x, spatial_size, location, scatter_type)
 
 

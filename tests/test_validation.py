@@ -116,3 +116,29 @@ def test_vmapped_q_nstep_still_works():
     )(data.q, data.next_n_q, data.action, data.next_n_action, data.reward,
       data.done)
     assert loss.shape == (W,) and td.shape == (W, B)
+
+
+def test_scatter_connection_location_shape():
+    from di_hpc_tpu import network
+    with pytest.raises(ValueError, match="scatter_connection: location"):
+        network.scatter_connection(z(B, 8, N), (4, 4), zi(B, 8, 3), "add")
+
+
+def test_scatter_connection_float_location():
+    from di_hpc_tpu import network
+    with pytest.raises(ValueError, match="scatter_connection: location"):
+        network.scatter_connection(z(B, 8, N), (4, 4), z(B, 8, 2), "add")
+
+
+def test_lstm_fused_state_shape():
+    from di_hpc_tpu import network
+    params = network.init_lstm_params(jax.random.PRNGKey(0), 8, 16, 1, "LN")
+    with pytest.raises(ValueError, match="lstm_fused: prev_state"):
+        network.lstm_fused(params, z(4, B, 8), (z(1, B, 8), z(1, B, 8)), "LN")
+
+
+def test_lstm_fused_input_dim():
+    from di_hpc_tpu import network
+    params = network.init_lstm_params(jax.random.PRNGKey(0), 8, 16, 1, "LN")
+    with pytest.raises(ValueError, match="lstm_fused: inputs feature"):
+        network.lstm_fused(params, z(4, B, 9), None, "LN")
