@@ -111,10 +111,11 @@ def test_multi_process_data_parallel_vtrace(tmp_path, n_proc, port):
     ref = _ops.vtrace_error(_ops.vtrace_data(
         jnp.asarray(to), jnp.asarray(bo), jnp.asarray(act),
         jnp.asarray(value), jnp.asarray(reward), None))
-    # rtol 5e-5: the workers are pinned to CPU while this in-process
+    # rtol 1e-4: the workers are pinned to CPU while this in-process
     # reference runs on whatever backend the suite uses — under
     # DIHPC_TEST_TPU=1 that is a CROSS-BACKEND comparison and TPU
-    # transcendentals differ from CPU at the ~1e-5 level (observed 1.7e-5).
-    # The worker-vs-worker check above stays at 1e-6 (same backend).
+    # transcendentals differ from CPU at the ~1e-5 level (observed 1.7e-5
+    # at n=2, 5.6e-5 at n=4, growing with batch).  The worker-vs-worker
+    # check above stays at 1e-6 (same backend).
     np.testing.assert_allclose(
-        results[0], [float(x) for x in ref], rtol=5e-5)
+        results[0], [float(x) for x in ref], rtol=1e-4)
