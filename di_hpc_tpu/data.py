@@ -33,17 +33,42 @@ __all__ = ["TrajectoryBuffer", "stack_trajectories"]
 
 def stack_trajectories(trajs: Sequence[Dict[str, np.ndarray]],
                        time_major: bool = True) -> Dict[str, np.ndarray]:
-    """Stack same-length trajectory dicts into batched arrays.
+    """Stack trajectory dicts into batched arrays.
 
     Each trajectory maps field -> (T, ...) array; output maps field ->
     (T, B, ...) (time-major, the layout every loss op expects) or (B, T, ...).
+
+    RAGGED fields (per-trajectory shapes differ) are routed through the
+    padding subsystem (`ops.padding`, native C++ pack for f32): the field is
+    zero-padded to the per-dimension max and an extra boolean
+    ``<field>_mask`` entry of the same layout marks the real elements — feed
+    it as the op's `weight` to keep padded steps out of the losses.
     """
+    from di_hpc_tpu.ops import padding as _padding
+
     out = {}
     for k in trajs[0]:
-        stacked = np.stack([np.asarray(t[k]) for t in trajs], axis=0)  # (B, T, ...)
+        arrs = [np.asarray(t[k]) for t in trajs]
+        if len({a.shape for a in arrs}) == 1:
+            stacked = np.stack(arrs, axis=0)                  # (B, T, ...)
+            mask = None
+        else:
+            nd = arrs[0].ndim
+            if not (1 <= nd <= 3 and all(a.ndim == nd for a in arrs)):
+                raise ValueError(
+                    f"stack_trajectories: ragged field {k!r} must be 1-3D "
+                    f"with a consistent rank; got "
+                    f"{sorted({a.ndim for a in arrs})}-D")
+            pad = getattr(_padding, f"Padding{nd}D")
+            padded, m, _ = pad([np.ascontiguousarray(a) for a in arrs])
+            stacked, mask = np.asarray(padded), np.asarray(m) != 0
         if time_major:
             stacked = np.swapaxes(stacked, 0, 1)
+            if mask is not None:
+                mask = np.swapaxes(mask, 0, 1)
         out[k] = np.ascontiguousarray(stacked)
+        if mask is not None:
+            out[k + "_mask"] = np.ascontiguousarray(mask)
     return out
 
 

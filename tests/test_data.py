@@ -93,3 +93,36 @@ def test_sharded_batch():
     assert sh.spec[1] == "data"
     # global content identical to an unsharded stack
     assert batch["obs"].shape == (8, 16, 4)
+
+
+def test_stack_ragged_pads_and_masks():
+    """Ragged fields route through the padding subsystem with a mask."""
+    trajs = [
+        {"reward": np.arange(3, dtype=np.float32),
+         "action": np.arange(3, dtype=np.int32),
+         "obs": np.ones((4, 2), np.float32)},
+        {"reward": np.arange(5, dtype=np.float32),
+         "action": np.arange(5, dtype=np.int32),
+         "obs": np.ones((6, 2), np.float32) * 2},
+    ]
+    out = stack_trajectories(trajs, time_major=True)
+    assert out["reward"].shape == (5, 2)
+    assert out["reward_mask"].shape == (5, 2)
+    assert out["reward_mask"].dtype == np.bool_
+    np.testing.assert_array_equal(out["reward_mask"][:, 0],
+                                  [True] * 3 + [False] * 2)
+    np.testing.assert_array_equal(out["reward"][:, 0], [0, 1, 2, 0, 0])
+    np.testing.assert_array_equal(out["reward"][:, 1], np.arange(5))
+    # int (non-f32) fields take the oracle fallback, same semantics
+    assert out["action"].shape == (5, 2)
+    np.testing.assert_array_equal(out["action"][:, 0], [0, 1, 2, 0, 0])
+    # 2-D ragged field
+    assert out["obs"].shape == (6, 2, 2)
+    assert out["obs_mask"][:, 0].sum() == 4 * 2
+
+
+def test_stack_ragged_rank_mismatch_raises():
+    trajs = [{"x": np.zeros((3,), np.float32)},
+             {"x": np.zeros((3, 2), np.float32)}]
+    with pytest.raises(ValueError, match="ragged field 'x'"):
+        stack_trajectories(trajs)
