@@ -59,6 +59,11 @@ def stack_trajectories(trajs: Sequence[Dict[str, np.ndarray]],
                     f"stack_trajectories: ragged field {k!r} must be 1-3D "
                     f"with a consistent rank; got "
                     f"{sorted({a.ndim for a in arrs})}-D")
+            if k + "_mask" in trajs[0]:
+                raise ValueError(
+                    f"stack_trajectories: ragged field {k!r} needs the key "
+                    f"{k + '_mask'!r} for its padding mask, but the "
+                    f"trajectories already contain a field by that name")
             pad = getattr(_padding, f"Padding{nd}D")
             padded, m, _ = pad([np.ascontiguousarray(a) for a in arrs])
             stacked, mask = np.asarray(padded), np.asarray(m) != 0

@@ -90,9 +90,14 @@ def check_ppo(op, logit_new, logit_old, action, value_new, value_old, adv,
 
 
 def check_nstep(op, q, next_n_q, action, next_n_action, reward, done, weight,
-                nstep: int, q_ndim: int = 2, batch_axis: int = 0):
+                nstep: int, q_ndim: int = 2, batch_axis: int = 0,
+                allow_col_weight: bool = False):
     """n-step TD family; batch_axis selects B in q (IQN's layout is
-    (tau, B, N), the others are batch-leading)."""
+    (tau, B, N), the others are batch-leading).  allow_col_weight admits a
+    (B, 1) weight — ONLY for consumers that handle the column shape
+    explicitly (dist_nstep expands 1-D weight itself); everywhere else a
+    (B, 1) weight would outer-broadcast against the (B,) per-sample errors
+    and silently corrupt the mean."""
     if q.ndim != q_ndim:
         _fail(op, f"q must be {q_ndim}-D; got {q.shape}")
     if next_n_q.ndim != q.ndim:
@@ -110,5 +115,6 @@ def check_nstep(op, q, next_n_q, action, next_n_action, reward, done, weight,
                   f"got {reward.shape}")
     if done.shape != (B,):
         _fail(op, f"done must have shape ({B},); got {done.shape}")
-    if weight is not None and tuple(weight.shape) not in ((B,), (B, 1)):
+    ok_weight = ((B,), (B, 1)) if allow_col_weight else ((B,),)
+    if weight is not None and tuple(weight.shape) not in ok_weight:
         _fail(op, f"weight must have shape ({B},); got {weight.shape}")

@@ -163,7 +163,8 @@ def dist_nstep_td_error(
     dist, next_n_dist, act, next_n_act, reward, done, weight = data
     from di_hpc_tpu.ops._validate import check_nstep, _fail
     check_nstep("dist_nstep_td_error", dist, next_n_dist, act, next_n_act,
-                reward, done, weight, nstep=nstep, q_ndim=3)
+                reward, done, weight, nstep=nstep, q_ndim=3,
+                allow_col_weight=True)   # expands 1-D weight itself below
     if dist.shape[-1] != n_atom:
         _fail("dist_nstep_td_error",
               f"dist's last axis must equal n_atom={n_atom}; got {dist.shape}")
@@ -215,10 +216,15 @@ def iqn_nstep_td_error(data: iqn_nstep_td_data, gamma: float, nstep: int = 1,
     check_nstep("iqn_nstep_td_error", data.q, data.next_n_q, data.action,
                 data.next_n_action, data.reward, data.done, data.weight,
                 nstep=nstep, q_ndim=3, batch_axis=1)   # IQN layout (tau, B, N)
-    if data.replay_quantiles.shape != data.q.shape[:2]:
+    # Accept any layout with tau*B elements: the origin deliberately
+    # reshapes to (tau, B) (td.py:342), tolerating the reference/DI-engine
+    # (tau, B, 1) and flat layouts — validation must not narrow that.
+    tau_, B_ = data.q.shape[:2]
+    import math as _math
+    if _math.prod(data.replay_quantiles.shape) != tau_ * B_:
         _fail("iqn_nstep_td_error",
-              f"replay_quantiles must have shape (tau, B) = {data.q.shape[:2]};"
-              f" got {data.replay_quantiles.shape}")
+              f"replay_quantiles must have tau*B = {tau_ * B_} elements "
+              f"(reshaped to {(tau_, B_)}); got {data.replay_quantiles.shape}")
     return _origin_td.iqn_nstep_td_error(data, gamma, nstep, kappa,
                                          value_gamma)
 

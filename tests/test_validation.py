@@ -142,3 +142,41 @@ def test_lstm_fused_input_dim():
     params = network.init_lstm_params(jax.random.PRNGKey(0), 8, 16, 1, "LN")
     with pytest.raises(ValueError, match="lstm_fused: inputs feature"):
         network.lstm_fused(params, z(4, B, 9), None, "LN")
+
+
+def test_q_nstep_col_weight_rejected():
+    """(B, 1) weight would outer-broadcast against the (B,) per-sample
+    errors and silently change the loss — must be rejected (dist_nstep,
+    which expands 1-D weight itself, still accepts it)."""
+    with pytest.raises(ValueError, match="q_nstep_td_error: weight"):
+        ops.q_nstep_td_error(
+            origin.q_nstep_td_data(z(B, N), z(B, N), zi(B), zi(B), z(1, B),
+                                   z(B), z(B, 1)), gamma=0.99)
+    loss, _ = ops.dist_nstep_td_error(
+        origin.dist_nstep_td_data(jnp.full((B, N, 11), 1 / 11.0),
+                                  jnp.full((B, N, 11), 1 / 11.0), zi(B),
+                                  zi(B), z(1, B), z(B), z(B, 1) + 1.0),
+        gamma=0.99, v_min=-5.0, v_max=5.0, n_atom=11)
+    assert jnp.isfinite(loss)
+
+
+def test_iqn_accepts_reference_quantile_layouts():
+    """(tau, B, 1) and flat layouts reshape to (tau, B) (origin td.py:342)."""
+    tau = 3
+    base = origin.iqn_nstep_td_data(
+        z(tau, B, N) + 0.1, z(tau, B, N), zi(B), zi(B), z(1, B), z(B),
+        jnp.full((tau, B), 0.5), None)
+    l0, _ = ops.iqn_nstep_td_error(base, gamma=0.99)
+    for shape in ((tau, B, 1), (tau * B,)):
+        l, _ = ops.iqn_nstep_td_error(
+            base._replace(replay_quantiles=jnp.full(shape, 0.5)), gamma=0.99)
+        assert float(l) == float(l0)
+
+
+def test_stack_ragged_mask_name_collision():
+    from di_hpc_tpu.data import stack_trajectories
+    import numpy as np
+    trajs = [{"x": np.zeros((3,), np.float32), "x_mask": np.ones((3,), np.float32)},
+             {"x": np.zeros((5,), np.float32), "x_mask": np.ones((5,), np.float32)}]
+    with pytest.raises(ValueError, match="already contain"):
+        stack_trajectories(trajs)
