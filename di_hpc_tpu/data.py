@@ -31,6 +31,31 @@ from di_hpc_tpu.parallel.mesh import DATA_AXIS, batch_sharding
 __all__ = ["TrajectoryBuffer", "stack_trajectories"]
 
 
+def _host_pad_nd(arrs):
+    """Zero-pad a ragged list of same-rank numpy arrays to the per-dim max.
+
+    Host-only (returns numpy): f32 inputs use the C++ ragged pack
+    (csrc/bucketing.cpp, one memcpy per contiguous row); everything else is a
+    per-array numpy slice-assign.  Returns (padded (B, ...), bool mask).
+    """
+    from di_hpc_tpu.utils.native import native_pack_padded_f32
+
+    max_shape = [max(dims) for dims in zip(*(a.shape for a in arrs))]
+    if all(a.dtype == np.float32 for a in arrs):
+        res = native_pack_padded_f32(
+            [np.ascontiguousarray(a) for a in arrs], max_shape, 0.0)
+        if res is not None:
+            out, m = res
+            return out, m != 0
+    out = np.zeros((len(arrs), *max_shape), dtype=arrs[0].dtype)
+    mask = np.zeros((len(arrs), *max_shape), dtype=bool)
+    for i, a in enumerate(arrs):
+        sl = (i,) + tuple(slice(0, d) for d in a.shape)
+        out[sl] = a
+        mask[sl] = True
+    return out, mask
+
+
 def stack_trajectories(trajs: Sequence[Dict[str, np.ndarray]],
                        time_major: bool = True) -> Dict[str, np.ndarray]:
     """Stack trajectory dicts into batched arrays.
@@ -38,14 +63,17 @@ def stack_trajectories(trajs: Sequence[Dict[str, np.ndarray]],
     Each trajectory maps field -> (T, ...) array; output maps field ->
     (T, B, ...) (time-major, the layout every loss op expects) or (B, T, ...).
 
-    RAGGED fields (per-trajectory shapes differ) are routed through the
-    padding subsystem (`ops.padding`, native C++ pack for f32): the field is
-    zero-padded to the per-dimension max and an extra boolean
-    ``<field>_mask`` entry of the same layout marks the real elements — feed
-    it as the op's `weight` to keep padded steps out of the losses.
-    """
-    from di_hpc_tpu.ops import padding as _padding
+    RAGGED fields (per-trajectory shapes differ) are zero-padded to the
+    per-dimension max (native C++ pack for f32, numpy otherwise) and an extra
+    boolean ``<field>_mask`` entry of the same layout marks the real
+    elements — feed it as the op's `weight` to keep padded steps out of the
+    losses.
 
+    This function is pure host code by contract: it runs on collector/learner
+    data threads, and the tunneled TPU client is not thread-safe — no jax
+    device op may happen here (padding therefore does NOT route through
+    ops.padding, whose outputs materialize on the default device).
+    """
     out = {}
     for k in trajs[0]:
         arrs = [np.asarray(t[k]) for t in trajs]
@@ -64,9 +92,7 @@ def stack_trajectories(trajs: Sequence[Dict[str, np.ndarray]],
                     f"stack_trajectories: ragged field {k!r} needs the key "
                     f"{k + '_mask'!r} for its padding mask, but the "
                     f"trajectories already contain a field by that name")
-            pad = getattr(_padding, f"Padding{nd}D")
-            padded, m, _ = pad([np.ascontiguousarray(a) for a in arrs])
-            stacked, mask = np.asarray(padded), np.asarray(m) != 0
+            stacked, mask = _host_pad_nd(arrs)
         if time_major:
             stacked = np.swapaxes(stacked, 0, 1)
             if mask is not None:

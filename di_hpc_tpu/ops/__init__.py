@@ -16,7 +16,10 @@ from .td import (
     iqn_nstep_td_error, iqn_nstep_td_data, IQNNStepTDError,
 )
 from .categorical import logp, logp_entropy
-from .ppo import ppo_error, ppo_data, ppo_loss, ppo_info, PPO
+from .ppo import (
+    ppo_error, ppo_error_with_logp_old, ppo_data, ppo_fast_data,
+    ppo_loss, ppo_info, PPO,
+)
 from .vtrace import vtrace_error, vtrace_data, vtrace_loss, VTrace
 from .upgo import upgo_loss, upgo_returns, UPGO
 from .padding import (

@@ -9,7 +9,10 @@ into an op-named ValueError at the call site.
 
 Only RELATIVE shape relations are asserted: vmap strips the mapped axis from
 the tracer shapes uniformly, so vmapped calls (e.g. the R2D2 example's
-per-window vmap) keep satisfying them.
+per-window vmap) keep satisfying them.  Exception: check_nstep pins absolute
+ranks (q must be exactly q_ndim-D) because the nstep ops' batch/action axes
+are positional — vmapping those ops over an extra leading axis is not
+supported (vmap the wrapped call as the R2D2 example does instead).
 """
 
 from __future__ import annotations
@@ -89,6 +92,19 @@ def check_ppo(op, logit_new, logit_old, action, value_new, value_old, adv,
         _fail(op, f"weight must have shape {B}; got {weight.shape}")
 
 
+def check_ppo_fast(op, logit_new, logp_old, action, value_new, value_old,
+                   adv, return_, weight):
+    check_categorical(op, logit_new, action, "logit_new")
+    B = logit_new.shape[:-1]
+    for nm, x in (("logp_old", logp_old), ("value_new", value_new),
+                  ("value_old", value_old), ("adv", adv),
+                  ("return_", return_)):
+        if x.shape != B:
+            _fail(op, f"{nm} must have shape {B}; got {x.shape}")
+    if weight is not None and weight.shape != B:
+        _fail(op, f"weight must have shape {B}; got {weight.shape}")
+
+
 def check_nstep(op, q, next_n_q, action, next_n_action, reward, done, weight,
                 nstep: int, q_ndim: int = 2, batch_axis: int = 0,
                 allow_col_weight: bool = False):
@@ -117,4 +133,5 @@ def check_nstep(op, q, next_n_q, action, next_n_action, reward, done, weight,
         _fail(op, f"done must have shape ({B},); got {done.shape}")
     ok_weight = ((B,), (B, 1)) if allow_col_weight else ((B,),)
     if weight is not None and tuple(weight.shape) not in ok_weight:
-        _fail(op, f"weight must have shape ({B},); got {weight.shape}")
+        accepted = " or ".join(str(s) for s in ok_weight)
+        _fail(op, f"weight must have shape {accepted}; got {weight.shape}")

@@ -128,6 +128,8 @@ def q_nstep_td_error_with_rescale(
     check_nstep("q_nstep_td_error_with_rescale", *data, nstep=nstep)
     return _origin_td.q_nstep_td_error_with_rescale(
         data, gamma, nstep, criterion, trans_fn, inv_trans_fn)
+
+
 def _gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
     """x (B, N, A) -> x[b, idx[b], :] (B, A) via iota-compare-sum.
 

@@ -3,8 +3,11 @@
 Exercises the on-policy half of the op library the way DI-engine's PPO
 pipeline drives the reference (hpc_rll/rl_utils/ppo.py wrapped per batch):
 GAE advantages from `ops.gae`, then several epochs of the fused clipped
-surrogate from `ops.ppo_error` (policy + value-clip + entropy, with the
-approx_kl / clipfrac monitor outputs), optax update.  Run:
+surrogate via the FAST PATH `ops.ppo_error_with_logp_old` — the old-policy
+log-prob is computed once per collected batch (`ops.logp`) and reused across
+all epochs, which the reference cannot do (its kernel recomputes the
+old-logits head per call, ppo_kernel.h:114-150).  Monitor outputs
+(approx_kl / clipfrac) and optax update included.  Run:
 
     python examples/ppo_training.py
 """
@@ -72,7 +75,10 @@ def main(steps: int = 10, epochs: int = 4, T: int = 16, B: int = 64,
         action = jax.random.categorical(k_act, logits[:T])       # (T, B)
         adv = ops.gae(origin.gae_data(value, reward), gamma=0.99, lambda_=0.95)
         return_ = adv + value[:T]
-        return dict(obs=obs[:T], action=action, logit_old=logits[:T],
+        # Old-policy log-prob once per batch: every epoch below reuses it
+        # through the ppo fast path instead of re-running the old-logits head.
+        logp_old = ops.logp(logits[:T], action)
+        return dict(obs=obs[:T], action=action, logp_old=logp_old,
                     value_old=value[:T], adv=adv, return_=return_)
 
     @jax.jit
@@ -81,11 +87,11 @@ def main(steps: int = 10, epochs: int = 4, T: int = 16, B: int = 64,
 
         def loss_fn(p):
             logits, value = forward(p, batch["obs"])
-            data = origin.ppo_data(
-                flat(logits), flat(batch["logit_old"]), flat(batch["action"]),
+            data = ops.ppo_fast_data(
+                flat(logits), flat(batch["logp_old"]), flat(batch["action"]),
                 flat(value), flat(batch["value_old"]), flat(batch["adv"]),
                 flat(batch["return_"]), None)
-            (pol, vl, ent), (kl, frac) = ops.ppo_error(
+            (pol, vl, ent), (kl, frac) = ops.ppo_error_with_logp_old(
                 data, clip_ratio=0.2, use_value_clip=True, dual_clip=None)
             total = pol + 0.5 * vl - 0.01 * ent
             return total, dict(policy=pol, value=vl, entropy=ent,

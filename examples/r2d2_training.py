@@ -112,8 +112,17 @@ def main(steps: int = 30, S: int = 20, burn_in: int = 4, B: int = 32,
             # done folded over the window (episode ends kill the bootstrap).
             r_wins = jnp.stack([reward[burn_in + t: burn_in + t + nstep]
                                 for t in range(W)])           # (W, nstep, B)
-            d_wins = jnp.stack([done[burn_in + t: burn_in + t + nstep]
-                                for t in range(W)]).any(axis=1)     # (W, B)
+            d_raw = jnp.stack([done[burn_in + t: burn_in + t + nstep]
+                               for t in range(W)])            # (W, nstep, B)
+            d_wins = d_raw.any(axis=1)                        # (W, B)
+            # Rewards past the first intra-window terminal belong to the next
+            # episode: mask them with the cumulative not-done product (the
+            # origin op only takes a per-window (B,) done, which kills the
+            # bootstrap but not post-terminal rewards).
+            alive = jnp.cumprod(1.0 - d_raw.astype(r_wins.dtype), axis=1)
+            alive = jnp.concatenate(
+                [jnp.ones_like(alive[:, :1]), alive[:, :-1]], axis=1)
+            r_wins = r_wins * alive
             losses, td = jax.vmap(one_step)(
                 q, q_tgt[nstep:nstep + W], act[burn_in:burn_in + W],
                 next_act[nstep:nstep + W], r_wins, d_wins)

@@ -111,3 +111,67 @@ def test_ppo_wrapper(key):
     vec = [jax.random.normal(ks[i + 3], (B,)) for i in range(4)]
     losses, info = ops.PPO(B, N)(ln, lo, act, *vec)
     assert len(losses) == 3 and len(info) == 2
+
+
+@pytest.mark.parametrize("use_vclip", [True, False])
+@pytest.mark.parametrize("dual", [None, 5.0])
+def test_ppo_fast_path_matches_parity_api(use_vclip, dual, key):
+    """ppo_error_with_logp_old(logp(logit_old, a)) == ppo_error(logit_old),
+    losses, monitors AND logit_new gradients (the fast path skips only the
+    old-logits head, which is stop-gradient in both)."""
+    B, N, clip = 48, 17, 0.2
+    ks = jax.random.split(key, 8)
+    ln = jax.random.normal(ks[0], (B, N)); lo = jax.random.normal(ks[1], (B, N))
+    act = jax.random.randint(ks[2], (B,), 0, N)
+    vn = jax.random.normal(ks[3], (B,)); vo = jax.random.normal(ks[4], (B,))
+    adv = jax.random.normal(ks[5], (B,)); ret = jax.random.normal(ks[6], (B,))
+    w = jax.random.uniform(ks[7], (B,), minval=0.5, maxval=1.5)
+
+    def slow(ln_):
+        (pol, vl, el), info = ops.ppo_error(
+            ops.ppo_data(ln_, lo, act, vn, vo, adv, ret, w),
+            clip, use_vclip, dual)
+        return pol + vl + el, (pol, vl, el, *info)
+
+    lp_old = ops.logp(lo, act)
+
+    def fast(ln_):
+        (pol, vl, el), info = ops.ppo_error_with_logp_old(
+            ops.ppo_fast_data(ln_, lp_old, act, vn, vo, adv, ret, w),
+            clip, use_vclip, dual)
+        return pol + vl + el, (pol, vl, el, *info)
+
+    (ts, outs_s), gs = jax.value_and_grad(slow, has_aux=True)(ln)
+    (tf, outs_f), gf = jax.value_and_grad(fast, has_aux=True)(ln)
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(tf), rtol=1e-6)
+    for a, b in zip(outs_s, outs_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gf),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_ppo_fast_path_logp_old_not_differentiated(key):
+    """No gradient flows into logp_old even if the caller forgot to detach."""
+    B, N = 16, 8
+    ks = jax.random.split(key, 4)
+    ln = jax.random.normal(ks[0], (B, N))
+    act = jax.random.randint(ks[1], (B,), 0, N)
+    v = jax.random.normal(ks[2], (B,))
+    lp_old = jax.random.normal(ks[3], (B,)) * 0.1 - 1.0
+
+    def f(lp):
+        (pol, vl, el), _ = ops.ppo_error_with_logp_old(
+            ops.ppo_fast_data(ln, lp, act, v, v, v, v, None))
+        return pol + vl + el
+
+    g = jax.grad(f)(lp_old)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_ppo_fast_path_validation(key):
+    ln = jnp.zeros((8, 4))
+    act = jnp.zeros((8,), jnp.int32)
+    v = jnp.zeros((8,))
+    with pytest.raises(ValueError, match="ppo_error_with_logp_old"):
+        ops.ppo_error_with_logp_old(
+            ops.ppo_fast_data(ln, jnp.zeros((7,)), act, v, v, v, v, None))
