@@ -36,24 +36,41 @@ def trace(log_dir: str = "/tmp/dihpc_trace"):
         jax.profiler.stop_trace()
 
 
-def bench_fn(fn, *args, k1: int = 10, k2: int = 110, reps: int = 4) -> float:
+def bench_fn(fn, *args, k1: int = 10, k2: int = 110, reps: int = 4,
+             method: str = "barrier") -> float:
     """Seconds per application of fn(*args), measured as the marginal cost of
     extra iterations inside one jitted fori_loop (cancels dispatch/readback
-    overhead, which dominates over tunneled chips)."""
+    overhead, which dominates over tunneled chips).
+
+    method="barrier" (default) ties args[0]'s leaves to the loop carry with
+    jax.lax.optimization_barrier: nothing can be hoisted out of the loop and
+    the inputs' bytes are untouched — the op is measured at its true cost.
+    method="perturb" is the legacy scheme (adds carry*1e-12 to every float
+    leaf): it ALSO prevents hoisting but costs one full extra HBM pass per
+    input per iteration, which an opaque Pallas op pays in full while XLA
+    fuses it into a jnp op's first consumer — it systematically flatters
+    naive-vs-fused comparisons (measured on gae: fused 99us perturbed vs
+    62us barrier at an analytic 61.5us floor).  Kept for A/B checks only.
+    """
 
     def looped(K):
         @jax.jit
         def run():
             def body(i, carry):
-                # Perturb IN the input's own dtype: `x + f32_scalar` would
-                # silently upcast bf16 inputs to f32 and measure a different
-                # (dtype-dispatched) code path than the caller's.
-                perturbed = jax.tree.map(
-                    lambda x: x + (carry * 1e-12).astype(jnp.asarray(x).dtype)
-                    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
-                    else x,
-                    args[0])
-                out = fn(perturbed, *args[1:])
+                if method == "barrier":
+                    leaves, treedef = jax.tree.flatten(args[0])
+                    out = jax.lax.optimization_barrier((carry,) + tuple(leaves))
+                    dep0 = jax.tree.unflatten(treedef, out[1:])
+                else:
+                    # Perturb IN the input's own dtype: `x + f32_scalar`
+                    # would silently upcast bf16 inputs to f32 and measure a
+                    # different (dtype-dispatched) code path.
+                    dep0 = jax.tree.map(
+                        lambda x: x + (carry * 1e-12).astype(jnp.asarray(x).dtype)
+                        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                        else x,
+                        args[0])
+                out = fn(dep0, *args[1:])
                 return (jnp.sum(jax.tree.leaves(out)[0]).astype(jnp.float32)
                         * 1e-12 + 1.0)
 

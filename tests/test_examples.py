@@ -4,22 +4,26 @@ import os
 import sys
 
 import jax
+import pytest
 
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
 
 
+@pytest.mark.slow
 def test_impala_training_runs():
     from impala_training import main
     main(steps=3, T=8, B=16)
 
 
+@pytest.mark.slow
 def test_impala_actor_learner_runs():
     from impala_actor_learner import run
     params = run(steps=3, T=4, env_batch=8, learn_batch=8)
     assert jax.tree.leaves(params)
 
 
+@pytest.mark.slow
 def test_impala_training_bf16_runs():
     from impala_training import main
     main(steps=3, T=8, B=16, bf16=True)
@@ -43,6 +47,7 @@ def test_r2d2_training_runs():
     assert all(bool(jax.numpy.isfinite(p).all()) for p in jax.tree.leaves(params))
 
 
+@pytest.mark.slow
 def test_alphastar_policy_training_runs():
     from alphastar_policy_training import main
     params = main(steps=2, T=6, B=4, M=16, Hc=128, max_selections=4)

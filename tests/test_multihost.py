@@ -63,6 +63,7 @@ print("RESULT", pid, float(losses.policy_loss), float(losses.value_loss),
 
 @pytest.mark.skipif(sys.platform != "linux", reason="gloo/linux only")
 @pytest.mark.parametrize("n_proc,port", [(2, "12401"), (4, "12403")])
+@pytest.mark.slow
 def test_multi_process_data_parallel_vtrace(tmp_path, n_proc, port):
     """2 procs x 2 devices and 4 procs x 2 devices (8-device global mesh):
     every process must reproduce the single-process global-batch result."""

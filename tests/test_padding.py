@@ -98,6 +98,7 @@ def test_native_pack_matches_origin():
         assert got[2] == want[2]
 
 
+@pytest.mark.slow
 def test_grouped_padding_fuzz():
     """Random sweep over (n, ndim, group, mode): round-trip must always hold
     and buckets must always cover the whole list."""

@@ -22,6 +22,7 @@ def test_mesh_construction():
 
 @needs_8
 @pytest.mark.parametrize("tshards", [2, 4, 8])
+@pytest.mark.slow
 def test_time_sharded_scan_splits(tshards, key):
     mesh = parallel.make_mesh({"time": tshards, "data": 8 // tshards})
     T, B = 48, 16
@@ -37,6 +38,7 @@ def test_time_sharded_scan_splits(tshards, key):
 
 @needs_8
 @pytest.mark.parametrize("direction", ["rev", "fwd"])
+@pytest.mark.slow
 def test_time_sharded_scan(direction, key):
     mesh = parallel.make_mesh({"time": 4, "data": 2})
     T, B = 64, 16
@@ -55,6 +57,7 @@ def test_time_sharded_scan(direction, key):
 
 
 @needs_8
+@pytest.mark.slow
 def test_gae_time_sharded(key):
     mesh = parallel.make_mesh({"time": 8})
     T, B = 128, 8
@@ -67,6 +70,7 @@ def test_gae_time_sharded(key):
 
 
 @needs_8
+@pytest.mark.slow
 def test_td_lambda_time_sharded(key):
     mesh = parallel.make_mesh({"time": 4, "data": 2})
     T, B = 64, 16
@@ -81,6 +85,7 @@ def test_td_lambda_time_sharded(key):
 
 
 @needs_8
+@pytest.mark.slow
 def test_vtrace_time_sharded(key):
     mesh = parallel.make_mesh({"time": 4, "data": 2})
     T, B, N = 32, 8, 6
@@ -102,6 +107,7 @@ def test_vtrace_time_sharded(key):
 
 
 @needs_8
+@pytest.mark.slow
 def test_upgo_time_sharded(key):
     mesh = parallel.make_mesh({"time": 8})
     T, B, N = 40, 6, 5

@@ -116,6 +116,7 @@ def test_wrapper_class(key):
     assert out.shape == (2, 3, 4, 4)
 
 
+@pytest.mark.slow
 def test_scatter_fuzz_matches_oracle(key):
     """One-hot-contraction scatter (fused) vs the scatter-based oracle across
     random shapes and collision densities, both modes, fwd + grad."""

@@ -269,6 +269,7 @@ def test_td_wrapper_classes(key):
     assert p4.shape == (B,)
 
 
+@pytest.mark.slow
 def test_dist_nstep_fuzz_matches_oracle(key):
     """Scatter-free C51 projection (ops) vs the scatter-based oracle across
     random configs: shapes, support ranges, nstep, weights, done patterns."""
