@@ -46,24 +46,51 @@ _WH_VMEM_BUDGET = 8 * 1024 * 1024
 # so cross-precision comparisons diverge to O(1); see CLAUDE.md).
 
 
+# LN statistics are SINGLE-PASS (var = E[x^2] - E[x]^2): one fewer (blk, 4H)
+# VPU traversal than the (x - mean)^2 form.  Numerically safe here because
+# LN inputs are zero-centred gate pre-activations (mean^2 ~ var, no
+# catastrophic cancellation); measured 203.5 vs 207.0 us at S=32, B=256,
+# H=512 and part of the 17.8% ref-config win (profile_lstm_r2.py,
+# 2026-08-20).  The backward kernels recompute stats with the SAME
+# formulation so fwd and bwd see identical values.
+
+
+def _ln_stats(x):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    m2 = jnp.mean(x * x, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(m2 - m * m + LAYERNORM_EPS)
+    return m, rstd
+
+
 def _ln(x, gamma, beta):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + LAYERNORM_EPS) * gamma + beta
+    mean, rstd = _ln_stats(x)
+    return (x - mean) * rstd * gamma + beta
 
 
 def _gates(gate, c, H):
-    i = jax.nn.sigmoid(gate[:, :H])
-    f = jax.nn.sigmoid(gate[:, H:2 * H])
-    o = jax.nn.sigmoid(gate[:, 2 * H:3 * H])
+    # One sigmoid over the contiguous i|f|o 3H block (one VPU transcendental
+    # pass instead of three) + tanh over the last H block.
+    sfo = jax.nn.sigmoid(gate[:, :3 * H])
     u = jnp.tanh(gate[:, 3 * H:])
-    c_new = f * c + i * u
-    h_new = o * jnp.tanh(c_new)
+    c_new = sfo[:, H:2 * H] * c + sfo[:, :H] * u
+    h_new = sfo[:, 2 * H:3 * H] * jnp.tanh(c_new)
     return h_new, c_new
 
 
+def _step_math(gx32, h, c, wh_ref, gln_ref, bln_ref, H, norm):
+    gh = jax.lax.dot_general(
+        h.astype(wh_ref.dtype), wh_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=None)                            # (blkB, 4H) on the MXU
+    if norm:
+        gh = _ln(gh, gln_ref[:].astype(jnp.float32),
+                 bln_ref[:].astype(jnp.float32))
+    return _gates(gx32 + gh, c, H)
+
+
 def _layer_kernel(gx_ref, wh_ref, gln_ref, bln_ref, h0_ref, c0_ref,
-                  y_ref, *out_refs, S: int, H: int, norm: bool, stash: bool):
+                  y_ref, *out_refs, S: int, H: int, U: int, norm: bool,
+                  stash: bool):
     if stash:
         c_seq_ref, hn_ref, cn_ref, h_scr, c_scr = out_refs
     else:
@@ -79,32 +106,28 @@ def _layer_kernel(gx_ref, wh_ref, gln_ref, bln_ref, h0_ref, c0_ref,
     # MXU rate); the h/c CARRY and all gate math stay f32 in scratch —
     # casting h to the weight dtype at the GEMM input is exactly the
     # rounding the stored y stream sees, so the backward's recompute from y
-    # matches the forward.
+    # matches the forward.  U consecutive time steps run per grid
+    # invocation (halves per-grid-step overhead; measured 193.6 vs 207.0 us
+    # at S=32, B=256, H=512 — profile_lstm_r2.py).
     h = h_scr[:]                                   # (blkB, H) f32
     c = c_scr[:]
-    gh = jax.lax.dot_general(
-        h.astype(wh_ref.dtype), wh_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=None)                            # (blkB, 4H) on the MXU
-    if norm:
-        gh = _ln(gh, gln_ref[:].astype(jnp.float32),
-                 bln_ref[:].astype(jnp.float32))
-    gate = gx_ref[0].astype(jnp.float32) + gh
-    h_new, c_new = _gates(gate, c, H)
-    h_scr[:] = h_new
-    c_scr[:] = c_new
-    y_ref[0] = h_new.astype(y_ref.dtype)
-    if stash:
-        # c_seq residual for the backward kernel only: inference calls skip
-        # this (S, B, H) HBM write entirely.
-        c_seq_ref[0] = c_new.astype(c_seq_ref.dtype)
+    for u_i in range(U):
+        h, c = _step_math(gx_ref[u_i].astype(jnp.float32), h, c,
+                          wh_ref, gln_ref, bln_ref, H, norm)
+        y_ref[u_i] = h.astype(y_ref.dtype)
+        if stash:
+            # c_seq residual for the backward kernel only: inference calls
+            # skip this (S, B, H) HBM write entirely.
+            c_seq_ref[u_i] = c.astype(c_seq_ref.dtype)
+    h_scr[:] = h
+    c_scr[:] = c
 
     # Constant block index over s: stays in VMEM, flushed once per B-block.
     # Writing only on the final step saves two (blk, H) VPU copies per step.
-    @pl.when(s == S - 1)
+    @pl.when(s == S // U - 1)
     def _flush_state():
-        hn_ref[:] = h_new.astype(hn_ref.dtype)
-        cn_ref[:] = c_new.astype(cn_ref.dtype)
+        hn_ref[:] = h.astype(hn_ref.dtype)
+        cn_ref[:] = c.astype(cn_ref.dtype)
 
 
 def _pick_blk_b(B: int, H: int, n_bufs: int = 10, itemsize: int = 4) -> int:
@@ -132,14 +155,18 @@ def _layer_impl(gx, wh, gln, bln, h0, c0, norm: bool, stash: bool = True):
     # fwd at S=32, B=256, L=2; bench_results/profile_fwd_blk.py) — the old
     # "+9%" reading did not reproduce, so the shared picker stands.
     itemsize = gx.dtype.itemsize
-    blk = _pick_blk_b(B, H, n_bufs=10 if itemsize == 4 else 16,
-                      itemsize=itemsize)
-    kernel = functools.partial(_layer_kernel, S=S, H=H, norm=norm,
+    # Two time steps per grid invocation when S allows it; the doubled
+    # stream blocks (gx in, y/c_seq out) are charged to the VMEM picker as
+    # extra buffer equivalents.
+    U = 2 if S % 2 == 0 else 1
+    n_bufs = (10 if itemsize == 4 else 16) + (4 if U == 2 else 0)
+    blk = _pick_blk_b(B, H, n_bufs=n_bufs, itemsize=itemsize)
+    kernel = functools.partial(_layer_kernel, S=S, H=H, U=U, norm=norm,
                                stash=stash)
     sb = lambda b, s: (s, b, 0)
     const_b = lambda b, s: (b, 0)
-    seq_spec = pl.BlockSpec((1, blk, H4), sb, memory_space=pltpu.VMEM)
-    out_seq = pl.BlockSpec((1, blk, H), sb, memory_space=pltpu.VMEM)
+    seq_spec = pl.BlockSpec((U, blk, H4), sb, memory_space=pltpu.VMEM)
+    out_seq = pl.BlockSpec((U, blk, H), sb, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((blk, H), const_b, memory_space=pltpu.VMEM)
     full = lambda b, s: (0, 0)
     seq_shape = jax.ShapeDtypeStruct((S, B, H), gx.dtype)
@@ -151,7 +178,7 @@ def _layer_impl(gx, wh, gln, bln, h0, c0, norm: bool, stash: bool = True):
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        grid=(pl.cdiv(B, blk), S),
+        grid=(pl.cdiv(B, blk), S // U),
         in_specs=[
             seq_spec,
             pl.BlockSpec((H, H4), full, memory_space=pltpu.VMEM),
@@ -222,18 +249,15 @@ def _bwd_kernel(gx_ref, ghp_ref, cprev_ref, cseq_ref, dy_ref, wh_ref,
     # All math is f32; bf16 streams are upcast on load, downcast on store.
     gh_pre = ghp_ref[0].astype(jnp.float32)       # (blk, 4H)
     if norm:
-        mean = jnp.mean(gh_pre, axis=-1, keepdims=True)
-        var = jnp.mean((gh_pre - mean) ** 2, axis=-1, keepdims=True)
-        rstd = jax.lax.rsqrt(var + LAYERNORM_EPS)
+        mean, rstd = _ln_stats(gh_pre)            # single-pass, matches fwd
         xhat = (gh_pre - mean) * rstd
         gh = (xhat * gln_ref[:].astype(jnp.float32)
               + bln_ref[:].astype(jnp.float32))
     else:
         gh = gh_pre
     gate = gx_ref[0].astype(jnp.float32) + gh
-    si = jax.nn.sigmoid(gate[:, :H])
-    sf = jax.nn.sigmoid(gate[:, H:2 * H])
-    so = jax.nn.sigmoid(gate[:, 2 * H:3 * H])
+    sfo = jax.nn.sigmoid(gate[:, :3 * H])         # one pass over i|f|o
+    si, sf, so = sfo[:, :H], sfo[:, H:2 * H], sfo[:, 2 * H:3 * H]
     su = jnp.tanh(gate[:, 3 * H:])
     c_prev = cprev_ref[0].astype(jnp.float32)
     tc = jnp.tanh(cseq_ref[0].astype(jnp.float32))  # tanh(c_t)
@@ -375,9 +399,7 @@ def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
         h_prev, wh_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=None)
     if norm:
-        mean = jnp.mean(gh_pre, axis=-1, keepdims=True)
-        var = jnp.mean((gh_pre - mean) ** 2, axis=-1, keepdims=True)
-        rstd = jax.lax.rsqrt(var + LAYERNORM_EPS)
+        mean, rstd = _ln_stats(gh_pre)            # single-pass, matches fwd
         xhat = (gh_pre - mean) * rstd
         gh = (xhat * gln_ref[:].astype(jnp.float32)
               + bln_ref[:].astype(jnp.float32))
@@ -386,9 +408,8 @@ def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
     gate = gx_ref[0].astype(jnp.float32) + gh
     if valid is not None:
         gate = jnp.where(valid, gate, 0.0)      # NaN-proof transcendentals
-    si = jax.nn.sigmoid(gate[:, :H])
-    sf = jax.nn.sigmoid(gate[:, H:2 * H])
-    so = jax.nn.sigmoid(gate[:, 2 * H:3 * H])
+    sfo = jax.nn.sigmoid(gate[:, :3 * H])         # one pass over i|f|o
+    si, sf, so = sfo[:, :H], sfo[:, H:2 * H], sfo[:, 2 * H:3 * H]
     su = jnp.tanh(gate[:, 3 * H:])
     c_t = sf * c_prev + si * su
     tc = jnp.tanh(c_t)
@@ -547,9 +568,8 @@ def _layer_bwd(norm: bool, res, ct):
         # over (S, B, 4H)); dgamma = sum(dgate * xhat), dbeta = sum(dgate).
         # Stats and reductions in f32 even for bf16 streams.
         ghp32 = gh_pre_seq.astype(jnp.float32)
-        mean = jnp.mean(ghp32, axis=-1, keepdims=True)
-        var = jnp.mean((ghp32 - mean) ** 2, axis=-1, keepdims=True)
-        xhat = (ghp32 - mean) * jax.lax.rsqrt(var + LAYERNORM_EPS)
+        mean, rstd = _ln_stats(ghp32)             # single-pass, matches fwd
+        xhat = (ghp32 - mean) * rstd
         dgx32 = dgx.astype(jnp.float32)
         dgln = jnp.sum(dgx32 * xhat, axis=(0, 1)).astype(gln.dtype)
         dbln = jnp.sum(dgx32, axis=(0, 1)).astype(bln.dtype)
