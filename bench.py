@@ -36,10 +36,13 @@ import time
 
 import jax
 
-# Persistent compilation cache, COMMITTED to the repo (bench_cache/): the
-# driver's round-end run must not pay ~30-120s/program cold remote compiles
-# through the tunnel (that is what zeroed BENCH_r01).  Prewarmed by running
-# `DIHPC_BENCH_BUDGET_S=3000 python bench.py` before round end.
+# Persistent compilation cache (bench_cache/, machine-local + gitignored —
+# the warmed cache measures 2.8GB because the big-shape stages' executables
+# serialize at 150-475MB each, far past committable size): the driver's
+# round-end run executes in THIS working tree, so an on-disk cache is what
+# saves it from the ~30-930s/program cold remote compiles that zeroed
+# BENCH_r01.  Prewarm by running `DIHPC_BENCH_BUDGET_S=3000 python bench.py`
+# (twice if the compile pool is degraded) before round end.
 _cache_dir = os.environ.get(
     "DIHPC_BENCH_CACHE",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cache"))

@@ -43,20 +43,27 @@ def loss(p_, xx):
 p("lstm fwd+grad (L=2)", bench_fn(
     lambda xx: jax.grad(loss, argnums=(0, 1))(params, xx)[1], x))
 
-# per-layer kernels in isolation
+# per-layer kernels in isolation (post LN_x fold: gx here is the RAW x@Wx
+# projection and the kernel also applies LN_x + bias in-kernel)
+glnx = jnp.abs(jax.random.normal(ks[7], (4 * H,))) + 0.5
+blnx = jax.random.normal(ks[7], (4 * H,)) * 0.1
+bias = jax.random.normal(ks[7], (4 * H,)) * 0.1
 p("fwd kernel stash=True (1 layer)", bench_fn(
-    lambda g: lc._layer_impl(g, wh, gln, bln, h0, c0, True, stash=True)[0], gx))
+    lambda g: lc._layer_impl(g, wh, glnx, blnx, gln, bln, bias, h0, c0,
+                             True, stash=True)[0], gx))
 p("fwd kernel stash=False (1 layer)", bench_fn(
-    lambda g: lc._layer_impl(g, wh, gln, bln, h0, c0, True, stash=False)[0], gx))
+    lambda g: lc._layer_impl(g, wh, glnx, blnx, gln, bln, bias, h0, c0,
+                             True, stash=False)[0], gx))
 
 y_, c_seq, hn, cn = jax.jit(
-    lambda g: lc._layer_impl(g, wh, gln, bln, h0, c0, True, stash=True))(gx)
+    lambda g: lc._layer_impl(g, wh, glnx, blnx, gln, bln, bias, h0, c0,
+                             True, stash=True))(gx)
 dy = jnp.ones_like(y_)
 dhn = jnp.zeros_like(hn)
 dcn = jnp.zeros_like(cn)
 p("bwd kernel v2 (1 layer)", bench_fn(
-    lambda g: lc._bwd_impl_v2(g, y_, c_seq, dy, wh, gln, bln, h0, c0,
-                              dhn, dcn, True)[0], gx))
+    lambda g: lc._bwd_impl_v2(g, y_, c_seq, dy, wh, glnx, blnx, gln, bln,
+                              bias, h0, c0, dhn, dcn, True)[0], gx))
 
 # XLA-side pieces
 dg_pre = jnp.ones((S, B, 4 * H))

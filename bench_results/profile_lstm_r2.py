@@ -11,6 +11,11 @@ layer, norm=True), all at ambient (bf16) matmul precision:
       overhead; same math)
 
 Usage: PYTHONPATH=/root/repo python bench_results/profile_lstm_r2.py
+
+HISTORICAL (2026-08-20): run against the round-1 kernel; v2u2 was adopted
+into lstm_cell.py and the kernel signature has since grown the LN_x fold
+(gxp/glnx/blnx/bias inputs), so the v0 calls below no longer run unedited.
+Recorded results: bench_results/r2_lstm_variants.json.
 """
 
 import functools

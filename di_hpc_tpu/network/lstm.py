@@ -118,21 +118,21 @@ def lstm_fused(
         wx_l, wh_l = params.wx[l], params.wh[l]
         bias_l = params.bias[l]
 
-        # Sequence-wide input projection: one (S*B, in) @ (in, 4H) MXU GEMM,
-        # LN fused over the gate dim.
-        gx = jnp.einsum("sbi,ih->sbh", x, wx_l,
-                        preferred_element_type=x.dtype)
-        if norm_type == "LN":
-            gx = layer_norm(gx, params.ln_gamma_x[l], params.ln_beta_x[l])
-        gx = gx + bias_l
+        # Sequence-wide input projection: one (S*B, in) @ (in, 4H) MXU GEMM.
+        # The x-side LayerNorm + bias are folded INTO the fused kernel
+        # (round 2): the raw projection feeds it directly, so XLA never
+        # pays LN_x's forward/backward passes over the (S, B, 4H) stream.
+        gxp = jnp.einsum("sbi,ih->sbh", x, wx_l,
+                         preferred_element_type=x.dtype)
 
         if norm_type == "LN":
+            g_x, b_x = params.ln_gamma_x[l], params.ln_beta_x[l]
             g_h, b_h = params.ln_gamma_h[l], params.ln_beta_h[l]
         else:
-            g_h = b_h = None
+            g_x = b_x = g_h = b_h = None
 
-        if (not remat and wh_l.dtype == gx.dtype
-                and _lstm_cell.supports(S, B, H, gx.dtype)):
+        if (not remat and wh_l.dtype == gxp.dtype
+                and _lstm_cell.supports(S, B, H, gxp.dtype)):
             # Whole-layer Pallas kernel: Wh + hidden state resident in VMEM
             # across all S steps (custom VJP; on-chip reverse-loop backward
             # reads the stashed h/c sequences, mirroring the reference's
@@ -140,13 +140,22 @@ def lstm_fused(
             # this path natively (bf16 streams, f32 gate math + f32 h/c
             # carry in scratch); mixed param/stream dtypes fall back to the
             # scan so custom-VJP cotangent dtypes stay consistent.
-            ones4h = g_h if g_h is not None else jnp.ones((4 * H,), gx.dtype)
-            zeros4h = b_h if b_h is not None else jnp.zeros((4 * H,), gx.dtype)
+            ones4h = jnp.ones((4 * H,), gxp.dtype)
+            zeros4h = jnp.zeros((4 * H,), gxp.dtype)
             x, h_l, c_l = _lstm_cell.lstm_layer_fused(
-                gx, wh_l, ones4h, zeros4h,
-                H0[l].astype(gx.dtype), C0[l].astype(gx.dtype),
+                gxp, wh_l,
+                g_x if g_x is not None else ones4h,
+                b_x if b_x is not None else zeros4h,
+                g_h if g_h is not None else ones4h,
+                b_h if b_h is not None else zeros4h,
+                bias_l,
+                H0[l].astype(gxp.dtype), C0[l].astype(gxp.dtype),
                 norm_type == "LN")
         else:
+            gx = gxp
+            if norm_type == "LN":
+                gx = layer_norm(gx, g_x, b_x)
+            gx = gx + bias_l
             def step(carry, gx_t, wh_l=wh_l, g_h=g_h, b_h=b_h):
                 h, c = carry
                 gh = h @ wh_l

@@ -67,6 +67,20 @@ def _ln(x, gamma, beta):
     return (x - mean) * rstd * gamma + beta
 
 
+def _xgate(gxp32, glnx_ref, blnx_ref, bias_ref, norm):
+    """x-side gate pre-activation from the RAW x @ Wx projection: the
+    x-LayerNorm and bias are folded in-kernel (round 2) so the XLA side
+    neither materializes a normalized gx stream nor pays LN_x's backward
+    passes over (S, B, 4H) — measured 267.6 us/layer for the x-side
+    GEMM+LN+bias fwd+grad at S=32, B=256, H=512 before the fold
+    (bench_results/profile_lstm_bwd_r2.py)."""
+    if norm:
+        return (_ln(gxp32, glnx_ref[:].astype(jnp.float32),
+                    blnx_ref[:].astype(jnp.float32))
+                + bias_ref[:].astype(jnp.float32))
+    return gxp32 + bias_ref[:].astype(jnp.float32)
+
+
 def _gates(gate, c, H):
     # One sigmoid over the contiguous i|f|o 3H block (one VPU transcendental
     # pass instead of three) + tanh over the last H block.
@@ -88,7 +102,8 @@ def _step_math(gx32, h, c, wh_ref, gln_ref, bln_ref, H, norm):
     return _gates(gx32 + gh, c, H)
 
 
-def _layer_kernel(gx_ref, wh_ref, gln_ref, bln_ref, h0_ref, c0_ref,
+def _layer_kernel(gxp_ref, wh_ref, glnx_ref, blnx_ref, gln_ref, bln_ref,
+                  bias_ref, h0_ref, c0_ref,
                   y_ref, *out_refs, S: int, H: int, U: int, norm: bool,
                   stash: bool):
     if stash:
@@ -112,7 +127,9 @@ def _layer_kernel(gx_ref, wh_ref, gln_ref, bln_ref, h0_ref, c0_ref,
     h = h_scr[:]                                   # (blkB, H) f32
     c = c_scr[:]
     for u_i in range(U):
-        h, c = _step_math(gx_ref[u_i].astype(jnp.float32), h, c,
+        gx32 = _xgate(gxp_ref[u_i].astype(jnp.float32),
+                      glnx_ref, blnx_ref, bias_ref, norm)
+        h, c = _step_math(gx32, h, c,
                           wh_ref, gln_ref, bln_ref, H, norm)
         y_ref[u_i] = h.astype(y_ref.dtype)
         if stash:
@@ -146,20 +163,21 @@ def _pick_blk_b(B: int, H: int, n_bufs: int = 10, itemsize: int = 4) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("norm", "stash"))
-def _layer_impl(gx, wh, gln, bln, h0, c0, norm: bool, stash: bool = True):
-    S, B, H4 = gx.shape
+def _layer_impl(gxp, wh, glnx, blnx, gln, bln, bias, h0, c0, norm: bool,
+                stash: bool = True):
+    S, B, H4 = gxp.shape
     H = H4 // 4
     # bf16 streams halve buffer bytes but the f32 gate-math temporaries do
     # not shrink: fold them in as extra stream-equivalents.  A forward-only
     # raise to blk=128 at H=512 f32 was re-measured NEUTRAL (851 -> 861 us
     # fwd at S=32, B=256, L=2; bench_results/profile_fwd_blk.py) — the old
     # "+9%" reading did not reproduce, so the shared picker stands.
-    itemsize = gx.dtype.itemsize
+    itemsize = gxp.dtype.itemsize
     # Two time steps per grid invocation when S allows it; the doubled
-    # stream blocks (gx in, y/c_seq out) are charged to the VMEM picker as
-    # extra buffer equivalents.
+    # stream blocks (gxp in, y/c_seq out) are charged to the VMEM picker as
+    # extra buffer equivalents (+2 more for the in-kernel LN_x temporaries).
     U = 2 if S % 2 == 0 else 1
-    n_bufs = (10 if itemsize == 4 else 16) + (4 if U == 2 else 0)
+    n_bufs = (12 if itemsize == 4 else 18) + (4 if U == 2 else 0)
     blk = _pick_blk_b(B, H, n_bufs=n_bufs, itemsize=itemsize)
     kernel = functools.partial(_layer_kernel, S=S, H=H, U=U, norm=norm,
                                stash=stash)
@@ -169,8 +187,9 @@ def _layer_impl(gx, wh, gln, bln, h0, c0, norm: bool, stash: bool = True):
     out_seq = pl.BlockSpec((U, blk, H), sb, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((blk, H), const_b, memory_space=pltpu.VMEM)
     full = lambda b, s: (0, 0)
-    seq_shape = jax.ShapeDtypeStruct((S, B, H), gx.dtype)
-    state_shape = jax.ShapeDtypeStruct((B, H), gx.dtype)
+    vec4 = pl.BlockSpec((1, H4), full, memory_space=pltpu.VMEM)
+    seq_shape = jax.ShapeDtypeStruct((S, B, H), gxp.dtype)
+    state_shape = jax.ShapeDtypeStruct((B, H), gxp.dtype)
     out_shape = ((seq_shape, seq_shape, state_shape, state_shape) if stash
                  else (seq_shape, state_shape, state_shape))
     out_specs = ((out_seq, out_seq, state_spec, state_spec) if stash
@@ -182,8 +201,7 @@ def _layer_impl(gx, wh, gln, bln, h0, c0, norm: bool, stash: bool = True):
         in_specs=[
             seq_spec,
             pl.BlockSpec((H, H4), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H4), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H4), full, memory_space=pltpu.VMEM),
+            vec4, vec4, vec4, vec4, vec4,
             state_spec, state_spec,
         ],
         out_specs=out_specs,
@@ -195,33 +213,42 @@ def _layer_impl(gx, wh, gln, bln, h0, c0, norm: bool, stash: bool = True):
             transcendentals=4 * S * B * H,
         ),
         interpret=_ls.INTERPRET,
-    )(gx, wh, gln.reshape(1, H4), bln.reshape(1, H4), h0, c0)
+    )(gxp, wh, glnx.reshape(1, H4), blnx.reshape(1, H4),
+      gln.reshape(1, H4), bln.reshape(1, H4), bias.reshape(1, H4), h0, c0)
     if stash:
         return outs
     y, hn, cn = outs
     return y, None, hn, cn
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def lstm_layer_fused(gx, wh, gln, bln, h0, c0, norm: bool = True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def lstm_layer_fused(gxp, wh, glnx, blnx, gln, bln, bias, h0, c0,
+                     norm: bool = True):
     """One LSTM layer over a full sequence, time loop fused on-chip.
 
     Args:
-      gx:  (S, B, 4H) pre-computed input gates LN_x(x @ Wx) + bias.
+      gxp: (S, B, 4H) RAW input projection x @ Wx — the x-side LayerNorm
+        and the bias are applied IN-KERNEL (round-2 fold; saves the XLA
+        LN_x forward+backward passes over the (S, B, 4H) stream).
       wh:  (H, 4H) recurrent weights (resident in VMEM for all S steps).
-      gln, bln: (4H,) LayerNorm params for the h-projection (pass ones/zeros
-        when norm=False; they are ignored).
+      glnx, blnx: (4H,) LayerNorm params for the x-projection.
+      gln, bln: (4H,) LayerNorm params for the h-projection.
+        (All four are ignored when norm=False — pass ones/zeros.)
+      bias: (4H,) gate bias.
       h0, c0: (B, H) initial state.
 
     Returns (y (S, B, H), h_n (B, H), c_n (B, H)).
     """
-    y, _, hn, cn = _layer_impl(gx, wh, gln, bln, h0, c0, norm, stash=False)
+    y, _, hn, cn = _layer_impl(gxp, wh, glnx, blnx, gln, bln, bias, h0, c0,
+                               norm, stash=False)
     return y, hn, cn
 
 
-def _layer_fwd(gx, wh, gln, bln, h0, c0, norm: bool):
-    y, c_seq, hn, cn = _layer_impl(gx, wh, gln, bln, h0, c0, norm)
-    return (y, hn, cn), (gx, wh, gln, bln, h0, c0, y, c_seq)
+def _layer_fwd(gxp, wh, glnx, blnx, gln, bln, bias, h0, c0, norm: bool):
+    y, c_seq, hn, cn = _layer_impl(gxp, wh, glnx, blnx, gln, bln, bias,
+                                   h0, c0, norm)
+    return (y, hn, cn), (gxp, wh, glnx, blnx, gln, bln, bias, h0, c0, y,
+                         c_seq)
 
 
 def _bwd_kernel(gx_ref, ghp_ref, cprev_ref, cseq_ref, dy_ref, wh_ref,
@@ -337,9 +364,11 @@ def _bwd_impl(gx, gh_pre_seq, c_prev, c_seq, dy, wh, gln, bln, dhn, dcn,
     return dgx, dg_pre_seq, dh0, dc0
 
 
-def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
-                   gln_ref, bln_ref, h0_ref, c0_ref, dhn_ref, dcn_ref,
-                   dgx_ref, dgpre_ref, dgln_ref, dbln_ref, dh0_ref, dc0_ref,
+def _bwd_kernel_v2(gxp_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
+                   glnx_ref, blnx_ref, gln_ref, bln_ref, bias_ref,
+                   h0_ref, c0_ref, dhn_ref, dcn_ref,
+                   dgxp_ref, dgpre_ref, dgln_ref, dglnx_ref, dsum_ref,
+                   dh0_ref, dc0_ref,
                    dh_scr, dc_scr, *, S: int, B: int, H: int, norm: bool):
     """Single-pass reverse loop: forward recompute + LN grads on-chip.
 
@@ -350,8 +379,12 @@ def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
         the MXU in-kernel,
       - recomputes c_t = f*c_prev + i*u from the gates so only the SHIFTED
         c stream is read (one (S,B,H) read instead of two),
-      - accumulates dgamma/dbeta into revisited constant-index output blocks
-        that live in VMEM for the whole grid.
+      - recomputes the x-side gate LN from the RAW gxp stream and emits
+        d(gxp) directly (round-2 LN_x fold: no XLA LN_x backward passes),
+      - accumulates dgamma_h/dgamma_x/sum(dgate) into revisited
+        constant-index output blocks that live in VMEM for the whole grid
+        (sum(dgate) serves dbeta_x, dbeta_h AND dbias — all three are
+        Σ dgate since the gate is linear in each).
     d(gh_pre) still streams out and dWh is one sequence-wide MXU GEMM
     outside: a fully-fused variant that accumulated dWh in-kernel was
     measured SLOWER (3208 vs 2676 us at S=32,B=256,H=512,L=2) — the
@@ -370,7 +403,8 @@ def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
     @pl.when((b == 0) & (s == 0))
     def _init_accum():
         dgln_ref[:] = jnp.zeros_like(dgln_ref)
-        dbln_ref[:] = jnp.zeros_like(dbln_ref)
+        dglnx_ref[:] = jnp.zeros_like(dglnx_ref)
+        dsum_ref[:] = jnp.zeros_like(dsum_ref)
 
     # h_prev stays in the stream dtype for the MXU recompute (for bf16 this
     # is exactly the rounding the forward's GEMM input saw); everything
@@ -405,7 +439,23 @@ def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
               + bln_ref[:].astype(jnp.float32))
     else:
         gh = gh_pre
-    gate = gx_ref[0].astype(jnp.float32) + gh
+
+    # x-side gate recompute from the raw projection (matches _xgate).
+    # Padding rows must be zeroed BEFORE the LN stats: uninitialized VMEM
+    # can be NaN and the dglnx accumulator sums over every block row
+    # (NaN * 0 = NaN — same hazard as h_prev above).
+    gxp = gxp_ref[0].astype(jnp.float32)
+    if valid is not None:
+        gxp = jnp.where(valid, gxp, 0.0)
+    if norm:
+        meanx, rstdx = _ln_stats(gxp)
+        xhatx = (gxp - meanx) * rstdx
+        gate_x = (xhatx * glnx_ref[:].astype(jnp.float32)
+                  + blnx_ref[:].astype(jnp.float32)
+                  + bias_ref[:].astype(jnp.float32))
+    else:
+        gate_x = gxp + bias_ref[:].astype(jnp.float32)
+    gate = gate_x + gh
     if valid is not None:
         gate = jnp.where(valid, gate, 0.0)      # NaN-proof transcendentals
     sfo = jax.nn.sigmoid(gate[:, :3 * H])         # one pass over i|f|o
@@ -427,16 +477,26 @@ def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
         (dh * tc) * so * (1.0 - so),
         (dc * si) * (1.0 - su * su),
     ], axis=-1)                                   # (blk, 4H) f32
-    dgx_ref[0] = dgate.astype(dgx_ref.dtype)
 
-    # LayerNorm backward + in-VMEM param-grad accumulation (always f32).
+    # x-side LayerNorm backward: d(gxp) streams out in place of d(gate).
+    if norm:
+        dxhatx = dgate * glnx_ref[:].astype(jnp.float32)
+        m1x = jnp.mean(dxhatx, axis=-1, keepdims=True)
+        m2x = jnp.mean(dxhatx * xhatx, axis=-1, keepdims=True)
+        dgxp = rstdx * (dxhatx - m1x - xhatx * m2x)
+        dglnx_ref[:] += jnp.sum(dgate * xhatx, axis=0, keepdims=True)
+    else:
+        dgxp = dgate
+    dgxp_ref[0] = dgxp.astype(dgxp_ref.dtype)
+    dsum_ref[:] += jnp.sum(dgate, axis=0, keepdims=True)
+
+    # h-side LayerNorm backward + in-VMEM param-grad accumulation (f32).
     if norm:
         dxhat = dgate * gln_ref[:].astype(jnp.float32)
         m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
         m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
         dg_pre = rstd * (dxhat - m1 - xhat * m2)
         dgln_ref[:] += jnp.sum(dgate * xhat, axis=0, keepdims=True)
-        dbln_ref[:] += jnp.sum(dgate, axis=0, keepdims=True)
     else:
         dg_pre = dgate
     dgpre_ref[0] = dg_pre.astype(dgpre_ref.dtype)
@@ -455,11 +515,12 @@ def _bwd_kernel_v2(gx_ref, yprev_ref, cprev_ref, dy_ref, wh_ref,
 
 
 # V2 VMEM model: Wh resident ((H,4H), stream dtype) + ~12 double-buffered
-# (blk, 4H)-equivalent stream buffers (gx in, dgx/dgpre out, y/c/dy shifted
-# streams — stream dtype) + ~6 live (blk, 4H) f32 gate-math temporaries
-# (gh_pre/xhat/gate/dgate/dxhat/dg_pre — always f32 regardless of streams).
+# (blk, 4H)-equivalent stream buffers (gxp in, dgxp/dgpre out, y/c/dy
+# shifted streams — stream dtype) + ~8 live (blk, 4H) f32 gate-math
+# temporaries (gh_pre/xhat/xhatx/gate/dgate/dxhat/dxhatx/dg_pre — always
+# f32 regardless of streams; +2 over round 1 for the in-kernel LN_x fold).
 def _v2_vmem_bytes(blk: int, H: int, itemsize: int = 4) -> int:
-    return (H * 4 * H + 12 * blk * 4 * H) * itemsize + 6 * blk * 4 * H * 4
+    return (H * 4 * H + 12 * blk * 4 * H) * itemsize + 8 * blk * 4 * H * 4
 
 
 _V2_VMEM_BUDGET = 14 * 1024 * 1024
@@ -483,11 +544,11 @@ def _pick_blk_b_v2(B: int, H: int, itemsize: int = 4) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("norm",))
-def _bwd_impl_v2(gx, y, c_seq, dy, wh, gln, bln, h0, c0, dhn, dcn,
-                 norm: bool):
-    S, B, H4 = gx.shape
+def _bwd_impl_v2(gxp, y, c_seq, dy, wh, glnx, blnx, gln, bln, bias,
+                 h0, c0, dhn, dcn, norm: bool):
+    S, B, H4 = gxp.shape
     H = H4 // 4
-    blk = _pick_blk_b_v2(B, H, gx.dtype.itemsize)
+    blk = _pick_blk_b_v2(B, H, gxp.dtype.itemsize)
     kernel = functools.partial(_bwd_kernel_v2, S=S, B=B, H=H, norm=norm)
     rev = lambda b, s: (S - 1 - s, b, 0)
     # Stream at t-1 (clamped at 0; the t==0 step selects h0/c0 in-kernel).
@@ -499,19 +560,21 @@ def _bwd_impl_v2(gx, y, c_seq, dy, wh, gln, bln, h0, c0, dhn, dcn,
     seq1_m1 = pl.BlockSpec((1, blk, H), rev_m1, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((blk, H), const_b, memory_space=pltpu.VMEM)
     vec4 = pl.BlockSpec((1, H4), full, memory_space=pltpu.VMEM)
-    dgx, dg_pre_seq, dgln, dbln, dh0, dc0 = pl.pallas_call(
+    dgxp, dg_pre_seq, dgln, dglnx, dsum, dh0, dc0 = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((S, B, H4), gx.dtype),
-                   jax.ShapeDtypeStruct((S, B, H4), gx.dtype),
+        out_shape=(jax.ShapeDtypeStruct((S, B, H4), gxp.dtype),
+                   jax.ShapeDtypeStruct((S, B, H4), gxp.dtype),
                    jax.ShapeDtypeStruct((1, H4), jnp.float32),
                    jax.ShapeDtypeStruct((1, H4), jnp.float32),
-                   jax.ShapeDtypeStruct((B, H), gx.dtype),
-                   jax.ShapeDtypeStruct((B, H), gx.dtype)),
+                   jax.ShapeDtypeStruct((1, H4), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H), gxp.dtype),
+                   jax.ShapeDtypeStruct((B, H), gxp.dtype)),
         grid=(pl.cdiv(B, blk), S),
         in_specs=[seq4, seq1_m1, seq1_m1, seq1,
                   pl.BlockSpec((H, H4), full, memory_space=pltpu.VMEM),
-                  vec4, vec4, state_spec, state_spec, state_spec, state_spec],
-        out_specs=(seq4, seq4, vec4, vec4, state_spec, state_spec),
+                  vec4, vec4, vec4, vec4, vec4,
+                  state_spec, state_spec, state_spec, state_spec],
+        out_specs=(seq4, seq4, vec4, vec4, vec4, state_spec, state_spec),
         scratch_shapes=[pltpu.VMEM((blk, H), jnp.float32),
                         pltpu.VMEM((blk, H), jnp.float32)],
         cost_estimate=pl.CostEstimate(
@@ -520,37 +583,66 @@ def _bwd_impl_v2(gx, y, c_seq, dy, wh, gln, bln, h0, c0, dhn, dcn,
             transcendentals=6 * S * B * H,
         ),
         interpret=_ls.INTERPRET,
-    )(gx, y, c_seq, dy, wh, gln.reshape(1, H4), bln.reshape(1, H4),
+    )(gxp, y, c_seq, dy, wh, glnx.reshape(1, H4), blnx.reshape(1, H4),
+      gln.reshape(1, H4), bln.reshape(1, H4), bias.reshape(1, H4),
       h0, c0, dhn, dcn)
-    return dgx, dg_pre_seq, dgln, dbln, dh0, dc0
+    return dgxp, dg_pre_seq, dgln, dglnx, dsum, dh0, dc0
 
 
 def _layer_bwd(norm: bool, res, ct):
     """Backward via the on-chip reverse-loop kernel.
 
     V2 path (when two (H, 4H) blocks fit in scoped VMEM): everything —
-    gh_pre recompute, cell+LN backward, dWh/dgamma/dbeta accumulation — runs
-    inside one Pallas kernel; HBM sees only the gx/y/c/dy input streams and
-    the dgx output.  V1 fallback: the gh_pre recompute is one sequence-wide
-    MXU GEMM (mirroring the forward's hoisted x @ Wx); the kernel streams
-    out per-step d(gate) and d(gh_pre), from which dWh and the LN-param
-    grads are sequence-wide reductions here.  (A pure-jnp lax.scan version
-    of this backward measured ~415us at the reference config vs ~150us
-    forward — per-step XLA loop overhead, not math, dominates; hence the
-    kernels.)
+    gh_pre recompute, x-side LN recompute, cell+LN backward,
+    dgamma/dbeta/dbias accumulation — runs inside one Pallas kernel; HBM
+    sees only the gxp/y/c/dy input streams and the dgxp/dgpre outputs.
+    V1 fallback: the gh_pre recompute is one sequence-wide MXU GEMM
+    (mirroring the forward's hoisted x @ Wx) and the x-side gate + LN_x
+    backward are sequence-wide XLA passes here (cheap at the small-B shapes
+    that route to V1); the kernel streams out per-step d(gate) and
+    d(gh_pre), from which dWh and the LN-param grads are sequence-wide
+    reductions.  (A pure-jnp lax.scan version of this backward measured
+    ~415us at the reference config vs ~150us forward — per-step XLA loop
+    overhead, not math, dominates; hence the kernels.)
     """
-    gx, wh, gln, bln, h0, c0, y, c_seq = res
+    gxp, wh, glnx, blnx, gln, bln, bias, h0, c0, y, c_seq = res
     dy, dhn, dcn = ct
     B, H = h0.shape
-    if _bwd_fits_v2(B, H, gx.dtype.itemsize):
-        dgx, dg_pre_seq, dgln, dbln, dh0, dc0 = _bwd_impl_v2(
-            gx, y, c_seq, dy, wh, gln, bln, h0, c0, dhn, dcn, norm)
+    if _bwd_fits_v2(B, H, gxp.dtype.itemsize):
+        dgxp, dg_pre_seq, dgln, dglnx, dsum, dh0, dc0 = _bwd_impl_v2(
+            gxp, y, c_seq, dy, wh, glnx, blnx, gln, bln, bias,
+            h0, c0, dhn, dcn, norm)
         # dWh as two sequence-wide MXU GEMMs on the un-shifted stashes
         # (h_prev_t = y_{t-1} for t>0, h0 for t=0) — no concat materialization.
         dwh = (jnp.einsum("bh,bg->hg", h0, dg_pre_seq[0])
                + jnp.einsum("sbh,sbg->hg", y[:-1], dg_pre_seq[1:]))
-        return (dgx, dwh, dgln.reshape(-1).astype(gln.dtype),
-                dbln.reshape(-1).astype(bln.dtype), dh0, dc0)
+        dsum_v = dsum.reshape(-1)
+        if norm:
+            # Σ dgate serves dbeta_x, dbeta_h and dbias alike (the gate is
+            # linear in each).
+            return (dgxp, dwh,
+                    dglnx.reshape(-1).astype(glnx.dtype),
+                    dsum_v.astype(blnx.dtype),
+                    dgln.reshape(-1).astype(gln.dtype),
+                    dsum_v.astype(bln.dtype),
+                    dsum_v.astype(bias.dtype), dh0, dc0)
+        return (dgxp, dwh, jnp.zeros_like(glnx), jnp.zeros_like(blnx),
+                jnp.zeros_like(gln), jnp.zeros_like(bln),
+                dsum_v.astype(bias.dtype), dh0, dc0)
+
+    # ----- V1 fallback -----
+    # x-side gate recompute in XLA with the same single-pass stats the
+    # forward kernel used.  Stream dtype is kept (for bf16 this rounds
+    # gate_x by ~1 bf16 ulp vs the forward's in-kernel f32 value — V1+bf16
+    # only occurs at small B where grad tolerances are loose).
+    gxp32 = gxp.astype(jnp.float32)
+    if norm:
+        meanx, rstdx = _ln_stats(gxp32)
+        xhatx = (gxp32 - meanx) * rstdx
+        gx = (xhatx * glnx.astype(jnp.float32) + blnx.astype(jnp.float32)
+              + bias.astype(jnp.float32)).astype(gxp.dtype)
+    else:
+        gx = (gxp32 + bias.astype(jnp.float32)).astype(gxp.dtype)
     # h_prev/c_prev per step: state BEFORE step t.
     h_prev = jnp.concatenate([h0[None], y[:-1]], axis=0)
     c_prev = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
@@ -560,23 +652,33 @@ def _layer_bwd(norm: bool, res, ct):
     gh_pre_seq = jnp.einsum("sbh,hg->sbg", h_prev, wh,
                             preferred_element_type=jnp.float32)
 
-    dgx, dg_pre_seq, dh0, dc0 = _bwd_impl(
+    dgate, dg_pre_seq, dh0, dc0 = _bwd_impl(
         gx, gh_pre_seq, c_prev, c_seq, dy, wh, gln, bln, dhn, dcn, norm)
     dwh = jnp.einsum("sbh,sbg->hg", h_prev, dg_pre_seq)
+    dgate32 = dgate.astype(jnp.float32)
+    dbias = jnp.sum(dgate32, axis=(0, 1)).astype(bias.dtype)
     if norm:
-        # xhat recomputed sequence-wide (one fused elementwise+reduce pass
-        # over (S, B, 4H)); dgamma = sum(dgate * xhat), dbeta = sum(dgate).
+        # h-side: xhat recomputed sequence-wide (one fused elementwise +
+        # reduce pass over (S, B, 4H)); x-side: LN_x backward on dgate.
         # Stats and reductions in f32 even for bf16 streams.
         ghp32 = gh_pre_seq.astype(jnp.float32)
         mean, rstd = _ln_stats(ghp32)             # single-pass, matches fwd
         xhat = (ghp32 - mean) * rstd
-        dgx32 = dgx.astype(jnp.float32)
-        dgln = jnp.sum(dgx32 * xhat, axis=(0, 1)).astype(gln.dtype)
-        dbln = jnp.sum(dgx32, axis=(0, 1)).astype(bln.dtype)
+        dgln = jnp.sum(dgate32 * xhat, axis=(0, 1)).astype(gln.dtype)
+        dbln = dbias.astype(bln.dtype)
+        dxhatx = dgate32 * glnx.astype(jnp.float32)
+        m1x = jnp.mean(dxhatx, axis=-1, keepdims=True)
+        m2x = jnp.mean(dxhatx * xhatx, axis=-1, keepdims=True)
+        dgxp = (rstdx * (dxhatx - m1x - xhatx * m2x)).astype(gxp.dtype)
+        dglnx = jnp.sum(dgate32 * xhatx, axis=(0, 1)).astype(glnx.dtype)
+        dblnx = dbias.astype(blnx.dtype)
     else:
+        dgxp = dgate
         dgln = jnp.zeros_like(gln)
         dbln = jnp.zeros_like(bln)
-    return dgx, dwh, dgln, dbln, dh0, dc0
+        dglnx = jnp.zeros_like(glnx)
+        dblnx = jnp.zeros_like(blnx)
+    return dgxp, dwh, dglnx, dblnx, dgln, dbln, dbias, dh0, dc0
 
 
 lstm_layer_fused.defvjp(_layer_fwd, _layer_bwd)

@@ -197,16 +197,21 @@ def test_lstm_layer_bwd_v2(interpret, f32_matmuls, key, monkeypatch,
                             lambda *a, **k: force_blk)
         assert B % force_blk != 0   # genuinely ragged
 
-    ks = jax.random.split(key, 6)
-    gx = jax.random.normal(ks[0], (S, B, 4 * H))
+    ks = jax.random.split(key, 9)
+    gxp = jax.random.normal(ks[0], (S, B, 4 * H))
     wh = jax.random.normal(ks[1], (H, 4 * H)) * 0.1
     gln = 1.0 + 0.1 * jax.random.normal(ks[2], (4 * H,))
     bln = 0.1 * jax.random.normal(ks[3], (4 * H,))
     h0 = jax.random.normal(ks[4], (B, H))
     c0 = jax.random.normal(ks[5], (B, H))
+    glnx = 1.0 + 0.1 * jax.random.normal(ks[6], (4 * H,))
+    blnx = 0.1 * jax.random.normal(ks[7], (4 * H,))
+    bias = 0.1 * jax.random.normal(ks[8], (4 * H,))
 
-    def oracle(gx, wh, gln, bln, h0, c0):
+    def oracle(gxp, wh, glnx, blnx, gln, bln, bias, h0, c0):
         from di_hpc_tpu.origin.rnn import layer_norm
+
+        gx = layer_norm(gxp, glnx, blnx) + bias   # x-side LN folded in-kernel
 
         def step(carry, gx_t):
             h, c = carry
@@ -226,11 +231,12 @@ def test_lstm_layer_bwd_v2(interpret, f32_matmuls, key, monkeypatch,
             return jnp.sum(y * jnp.cos(y)) + jnp.sum(hn ** 2) + jnp.sum(jnp.sin(cn))
         return g
 
-    args = (gx, wh, gln, bln, h0, c0)
+    args = (gxp, wh, glnx, blnx, gln, bln, bias, h0, c0)
     g_f = jax.grad(loss(lambda *a: __import__("di_hpc_tpu.pallas_kernels.lstm_cell",
                                               fromlist=["x"]).lstm_layer_fused(*a, True)))(args)
     g_r = jax.grad(loss(oracle))(args)
-    for name, a, b in zip(["dgx", "dwh", "dgln", "dbln", "dh0", "dc0"], g_f, g_r):
+    for name, a, b in zip(["dgxp", "dwh", "dglnx", "dblnx", "dgln", "dbln",
+                           "dbias", "dh0", "dc0"], g_f, g_r):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=name)
 
 
