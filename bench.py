@@ -583,33 +583,6 @@ def main():
         est_s=65, K=300, bytes_mb=vtr_grad_mb,
     )
 
-    # ----- vtrace forward at the BASELINE north-star config T=1024 B=4096.
-    # N=32 keeps the two (T, B, N) logits tensors at 537MB each (N=128 would
-    # be 2.1GB apiece — past what the naive lowering's softmax temporaries
-    # leave free on a 16GB chip); T and B are the BASELINE-pinned dims. -----
-    Tn, Bn, Nn = 1024, 4096, 32
-    kn = jax.random.split(jax.random.PRNGKey(7), 5)
-    to_n = jax.random.normal(kn[0], (Tn, Bn, Nn))
-    bo_n = jax.random.normal(kn[1], (Tn, Bn, Nn))
-    act_n = jax.random.randint(kn[2], (Tn, Bn), 0, Nn)
-    val_n = jax.random.normal(kn[3], (Tn + 1, Bn))
-    rew_n = jax.random.normal(kn[4], (Tn, Bn))
-
-    def vtrace_ns_step(fn):
-        def step(carry, init=False):
-            t, b, v, r = _dep(None if init else carry, to_n, bo_n, val_n, rew_n)
-            out = fn(origin.vtrace_data(t, b, act_n, v, r, None))
-            return (out.policy_loss + out.value_loss + out.entropy_loss) * 1e-12 + 1.0
-        return step
-
-    vtr_ns_mb = (2 * Tn * Bn * Nn + 4 * Tn * Bn) * 4 / 1e6
-    run_stage(
-        "vtrace_T1024_B4096_N32", "vtrace T=1024 B=4096 N=32",
-        vtrace_ns_step(origin.vtrace_error),
-        vtrace_ns_step(ops.vtrace_error),
-        est_s=70, K=60, bytes_mb=vtr_ns_mb,
-    )
-
     # ----- LSTM: reference config seq=64, B=3, in=1792, hid=384, L=3 -----
     S, Bl, I, H, L = 64, 3, 1792, 384, 3
     kpar, kx = jax.random.split(jax.random.PRNGKey(2))
@@ -692,6 +665,36 @@ def main():
         train_step_factory(lstm_naive, origin.vtrace_error),
         train_step_factory(lstm_fused, ops.vtrace_error),
         est_s=120, K=50, n=3, flops_g=train_flops_g,
+    )
+
+    # ----- vtrace forward at the BASELINE north-star config T=1024 B=4096.
+    # N=32 keeps the two (T, B, N) logits tensors at 537MB each (N=128 would
+    # be 2.1GB apiece — past what the naive lowering's softmax temporaries
+    # leave free on a 16GB chip); T and B are the BASELINE-pinned dims.
+    # Runs LAST: its cold compile is the one the remote-compile service has
+    # been seen to drop after ~20min ("Broken pipe"), and a hang here must
+    # not take the stages after it down with it (2026-08-20 pass-1 log). ----
+    Tn, Bn, Nn = 1024, 4096, 32
+    kn = jax.random.split(jax.random.PRNGKey(7), 5)
+    to_n = jax.random.normal(kn[0], (Tn, Bn, Nn))
+    bo_n = jax.random.normal(kn[1], (Tn, Bn, Nn))
+    act_n = jax.random.randint(kn[2], (Tn, Bn), 0, Nn)
+    val_n = jax.random.normal(kn[3], (Tn + 1, Bn))
+    rew_n = jax.random.normal(kn[4], (Tn, Bn))
+
+    def vtrace_ns_step(fn):
+        def step(carry, init=False):
+            t, b, v, r = _dep(None if init else carry, to_n, bo_n, val_n, rew_n)
+            out = fn(origin.vtrace_data(t, b, act_n, v, r, None))
+            return (out.policy_loss + out.value_loss + out.entropy_loss) * 1e-12 + 1.0
+        return step
+
+    vtr_ns_mb = (2 * Tn * Bn * Nn + 4 * Tn * Bn) * 4 / 1e6
+    run_stage(
+        "vtrace_T1024_B4096_N32", "vtrace T=1024 B=4096 N=32",
+        vtrace_ns_step(origin.vtrace_error),
+        vtrace_ns_step(ops.vtrace_error),
+        est_s=70, K=60, bytes_mb=vtr_ns_mb,
     )
 
     _emit_result_and_exit(exit_code=None)
