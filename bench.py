@@ -6,21 +6,38 @@ large enough that the ~30ms (noisy) tunnel dispatch overhead — measured once
 and subtracted — is negligible.  Every input that feeds an op's hot path is
 tied to the loop carry through jax.lax.optimization_barrier (see _dep), so no
 expensive subgraph can be hoisted out and under-measured and no perturbation
-traffic is added.  One compile per (op, kind) keeps total
-compile time inside the wall-clock budget; stages run cheapest-compile-first
-so a partial run under a degraded tunnel still lands the most stages.
+traffic is added.  One compile per (op, kind) keeps total compile time inside
+the wall-clock budget.
 
-Prints ONE JSON line to stdout:
+Stage order: the geomean + mandatory stages run FIRST (cheapest warm cost
+first, the two BASELINE-critical stages — train_step and the north-star
+vtrace T=1024 B=4096 — at the end of that group), then the evidence-only
+stages (padding, actor-critic, td point ops).  A partial run under a
+degraded tunnel therefore loses evidence rows, not the headline.
+
+Prints ONE JSON line to stdout with the compact driver-parsed fields FIRST
+(metric/value/unit/vs_baseline/partial/stages_completed/missing_stages) and
+the per-stage details blob LAST, all floats rounded, so the driver's parse
+never depends on the tail of the line:
   {"metric": "fused_vs_naive_geomean_speedup", "value": <geomean speedup>,
-   "unit": "x", "vs_baseline": <value / 5.0>, "details": {...}}
+   "unit": "x", "vs_baseline": <value / 5.0>, ..., "details": {...}}
 vs_baseline is relative to the BASELINE.json north-star target of >=5x over
-naive lowering (gae/vtrace class ops at T=1024, B=4096).  Each details entry
-carries naive_us / fused_us / speedup plus compile_s / measure_s (so a
+naive lowering (gae/vtrace/ppo class ops at T=1024, B=4096).  Each details
+entry carries naive_us / fused_us / speedup plus compile_s / measure_s (so a
 degraded remote-compile pool is diagnosable from the JSON alone) and, where
 the op is HBM-bound, the analytic min-traffic floor_us + pct_sol roofline.
-The `td_point_ops` entry is evidence, not a geomean stage (in_geomean=0):
-qntd/rescale/qrdqn/iqn have no kernel case (ops IS jit(origin), see
+
+Geomean composition: ONE row per op.  `ppo_fast_grad` (the
+logp_old-precomputed path every multi-epoch PPO loop actually runs,
+examples/ppo_training.py) is PPO's geomean row; the plain `ppo_grad` row is
+kept as evidence (in_geomean=0) — see BASELINE.md "PPO adjudication".
+The `td_point_ops` / `actor_critic_ops` entries are likewise evidence:
+qntd/iqn (and the model helpers) have no kernel case (ops IS jit(origin),
 docs/DESIGN.md §6) so their ~1.0x is the claim being demonstrated.
+
+Env knobs: DIHPC_BENCH_BUDGET_S (default 420), DIHPC_BENCH_SMOKE=1,
+DIHPC_BENCH_PLATFORM=cpu, DIHPC_BENCH_STAGES=key1,key2 (run only the named
+stages — the per-stage prewarm/retry tool, see bench_results/prewarm.sh).
 Per-op diagnostics go to stderr.
 """
 
@@ -37,12 +54,12 @@ import time
 import jax
 
 # Persistent compilation cache (bench_cache/, machine-local + gitignored —
-# the warmed cache measures 2.8GB because the big-shape stages' executables
+# the warmed cache measures ~4GB because the big-shape stages' executables
 # serialize at 150-475MB each, far past committable size): the driver's
 # round-end run executes in THIS working tree, so an on-disk cache is what
 # saves it from the ~30-930s/program cold remote compiles that zeroed
-# BENCH_r01.  Prewarm by running `DIHPC_BENCH_BUDGET_S=3000 python bench.py`
-# (twice if the compile pool is degraded) before round end.
+# BENCH_r01.  Prewarm with bench_results/prewarm.sh (per-stage, retried)
+# before round end.
 _cache_dir = os.environ.get(
     "DIHPC_BENCH_CACHE",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cache"))
@@ -60,6 +77,12 @@ if os.environ.get("DIHPC_BENCH_PLATFORM"):
 # DIHPC_BENCH_SMOKE=1 shrinks every loop to K=2, n=1 — a fast whole-structure
 # correctness pass (every stage compiles and runs; timings meaningless).
 _SMOKE = bool(int(os.environ.get("DIHPC_BENCH_SMOKE", "0")))
+
+# DIHPC_BENCH_STAGES=key1,key2 runs only the named stage keys — used by the
+# prewarm tool to compile/land one stage at a time with retries.
+_ONLY_STAGES = None
+if os.environ.get("DIHPC_BENCH_STAGES"):
+    _ONLY_STAGES = set(os.environ["DIHPC_BENCH_STAGES"].split(","))
 
 import jax.numpy as jnp
 
@@ -85,31 +108,62 @@ def _remaining():
 
 
 _details: dict = {}
-_TOTAL_STAGES = 12  # keep in sync with the stage list in main()
+
+# Every stage key, in run order.  Geomean membership is per-entry
+# (in_geomean); the mandatory set is what BASELINE.md names — a missing
+# mandatory stage is flagged loudly in the JSON rather than silently
+# shrinking the geomean's denominator.
+_ALL_STAGES = [
+    "ppo_grad_B4096_N128",
+    "ppo_fast_grad_B4096_N128",
+    "dntd_B128_N128_atoms51",
+    "gae_T1024_B4096",
+    "lstm_s64_b3_i1792_h384_l3",
+    "scatter_add_grad_B256_M256",
+    "upgo_T128_B512_N128",
+    "td_lambda_T1024_B4096",
+    "vtrace_grad_T128_B512_N128",
+    "train_step_T32_B256_h512",
+    "vtrace_T1024_B4096_N32",
+    "padding_ops",
+    "actor_critic_ops",
+    "td_point_ops",
+]
+_MANDATORY = {"gae_T1024_B4096", "vtrace_T1024_B4096_N32",
+              "train_step_T32_B256_h512", "ppo_fast_grad_B4096_N128"}
+_TOTAL_STAGES = len(_ALL_STAGES)
 _emitted = threading.Lock()
 
 
 def _emit_result_and_exit(exit_code=0):
     """Print the single JSON result line exactly once (also used by the
-    watchdog when a remote compile hangs past the budget)."""
+    watchdog when a remote compile hangs past the budget).  Compact fields
+    first; details last; floats rounded to 2-3 digits (BENCH_r02's driver
+    parse failed on tail truncation of a 2KB+ line)."""
     if not _emitted.acquire(blocking=False):
         return
     speedups = [d["speedup"] for d in _details.values()
                 if d.get("in_geomean", 1)] or [0.0]
     geomean = math.exp(sum(math.log(max(s, 1e-9)) for s in speedups) / len(speedups))
+    missing = [k for k in _ALL_STAGES if k not in _details]
     result = {
         "metric": "fused_vs_naive_geomean_speedup",
         "value": round(geomean, 3),
         "unit": "x",
         "vs_baseline": round(geomean / 5.0, 3),
-        "details": {k: {kk: round(vv, 3) for kk, vv in v.items()}
-                    for k, v in _details.items()},
+        "stages_completed": len(_details),
+        "stages_total": _TOTAL_STAGES,
     }
-    if len(_details) < _TOTAL_STAGES:
-        # Self-describing partial run (slow tunnel pool / watchdog): the
-        # geomean then covers only the completed stages.
+    if missing and _ONLY_STAGES is None:
         result["partial"] = True
-    result["stages_completed"] = len(_details)
+        result["missing_stages"] = missing
+        if any(k in _MANDATORY for k in missing):
+            result["missing_mandatory"] = [k for k in missing
+                                           if k in _MANDATORY]
+    result["details"] = {
+        k: {kk: (round(vv, 2) if isinstance(vv, float) else vv)
+            for kk, vv in v.items()}
+        for k, v in _details.items()}
     print(json.dumps(result), flush=True)
     if exit_code is not None:
         os._exit(exit_code)
@@ -239,7 +293,12 @@ def main():
     _log(f"backend: {backend}, devices: {jax.devices()}")
     details = _details
 
-    def run_stage(key_name, label, naive, fused, est_s, **kw):
+    def _selected(key_name):
+        return _ONLY_STAGES is None or key_name in _ONLY_STAGES
+
+    def run_stage(key_name, label, naive, fused, est_s, in_geomean=1, **kw):
+        if not _selected(key_name):
+            return
         if _remaining() < est_s:
             _log(f"  [skip] {label}: {_remaining():.0f}s budget left < est {est_s}s")
             return
@@ -254,123 +313,72 @@ def main():
                 details[key_name] = bench_op(label, naive, fused, **kw)
             except Exception as e2:  # noqa: BLE001
                 _log(f"  [fail] {label}: {type(e2).__name__}: {e2}")
+                return
+        if not in_geomean:
+            details[key_name]["in_geomean"] = 0.0
 
     # =====================================================================
-    # Stage 1 (evidence, not in geomean): TD point ops at reference configs.
-    # qntd/rescale/qrdqn/iqn have no kernel case — ops.* IS jit(origin.*)
-    # (docs/DESIGN.md §6); this stage makes the measured ~1.0x driver-visible.
+    # Geomean + mandatory stages, cheapest-warm-cost first; the two
+    # BASELINE-critical stages (train_step, north-star vtrace) close the
+    # group so a cold-cache partial run still lands the most rows.
     # =====================================================================
-    def _td_point_ops():
-        if _remaining() < 60:
-            _log(f"  [skip] td_point_ops: {_remaining():.0f}s left")
-            return
-        entry = {"in_geomean": 0.0, "speedup": 1.0}
-        t0 = time.time()
-        compile_s = 0.0
 
-        # qntd / qntd_rescale: reference config T=nstep=5, B=64, N=64.
-        kq = jax.random.split(jax.random.PRNGKey(10), 6)
-        Bq, Nq, nstep = 64, 64, 5
-        q = jax.random.normal(kq[0], (Bq, Nq))
-        nq = jax.random.normal(kq[1], (Bq, Nq))
-        aq = jax.random.randint(kq[2], (Bq,), 0, Nq)
-        naq = jax.random.randint(kq[3], (Bq,), 0, Nq)
-        rq = jax.random.normal(kq[4], (nstep, Bq))
-        dq = jax.random.uniform(kq[5], (Bq,)) > 0.9
+    # ----- PPO at the BASELINE batch scale: B=4096, N=128 -----
+    Bp, Np = 4096, 128
+    kp = jax.random.split(jax.random.PRNGKey(3), 7)
+    ln = jax.random.normal(kp[0], (Bp, Np)); lo = jax.random.normal(kp[1], (Bp, Np))
+    act_p = jax.random.randint(kp[2], (Bp,), 0, Np)
+    vn = jax.random.normal(kp[3], (Bp,)); vo = jax.random.normal(kp[4], (Bp,))
+    adv = jax.random.normal(kp[5], (Bp,)); ret = jax.random.normal(kp[6], (Bp,))
 
-        def qn_step(fn):
-            def step(carry, init=False):
-                qq, nqq, rr = _dep(None if init else carry, q, nq, rq)
+    def ppo_train_step(fn_mod):
+        def loss(ln_, vn_, lo_):
+            (pol, vl, el), _ = fn_mod.ppo_error(
+                fn_mod.ppo_data(ln_, lo_, act_p, vn_, vo, adv, ret, None),
+                0.2, True, None)
+            return pol + 0.5 * vl - 0.01 * el
 
-                def loss(qq_, rr_):
-                    l, td = fn(origin.q_nstep_td_data(qq_, nqq, aq, naq, rr_, dq, None),
-                               gamma=0.95, nstep=nstep)
-                    return l + jnp.sum(td) * 1e-12
-                v, g = jax.value_and_grad(loss)(qq, rr_=rr)
-                return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
-            return step
+        def step(carry, init=False):
+            x, v_in, lo_ = _dep(None if init else carry, ln, vn, lo)
+            v, g = jax.value_and_grad(loss)(x, v_in, lo_)
+            return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
+        return step
 
-        # qrdqn: tau=39, T=10, B=89->96, N=67 (reference test config, B
-        # rounded up); iqn: tau=33, tau'=34, T=10, B=64, N=8, kappa=0.9.
-        kr = jax.random.split(jax.random.PRNGKey(11), 6)
-        tau, Br, Nr, Tr = 39, 96, 67, 10
-        qr = jax.random.normal(kr[0], (Br, Nr, tau))
-        nqr = jax.random.normal(kr[1], (Br, Nr, tau))
-        ar = jax.random.randint(kr[2], (Br,), 0, Nr)
-        nar = jax.random.randint(kr[3], (Br,), 0, Nr)
-        rr_q = jax.random.normal(kr[4], (Tr, Br))
-        dr = jax.random.uniform(kr[5], (Br,)) > 0.9
-        tau_hat = (jnp.arange(tau, dtype=jnp.float32) + 0.5) / tau
+    # fwd+grad traffic: read ln twice (fwd + stash-free bwd recompute),
+    # write d_ln once, read lo once = 4 * B*N*4 bytes + O(B) vectors.
+    # Evidence row (in_geomean=0): PPO's geomean row is the fast path below
+    # — one row per op; adjudication in BASELINE.md.
+    ppo_mb = 4 * Bp * Np * 4 / 1e6
+    run_stage(
+        "ppo_grad_B4096_N128", "ppo+grad B=4096 N=128",
+        ppo_train_step(origin),
+        ppo_train_step(ops),
+        est_s=50, K=4000, bytes_mb=ppo_mb, in_geomean=0,
+    )
 
-        def qrdqn_step(fn):
-            def step(carry, init=False):
-                qq, nqq, rr = _dep(None if init else carry, qr, nqr, rr_q)
+    # PPO fast path: logp_old precomputed once per batch (what a multi-epoch
+    # PPO loop reuses, examples/ppo_training.py).  Naive side = the full
+    # origin recompute — the per-minibatch cost the fast path replaces.
+    lp_old_pre = ops.logp(lo, act_p)
 
-                def loss(qq_, rr_):
-                    l, td = fn(origin.qrdqn_nstep_td_data(
-                        qq_, nqq, ar, nar, rr_, dr,
-                        tau_hat[None, :, None], None), gamma=0.95, nstep=Tr)
-                    return l + jnp.sum(td) * 1e-12
-                v, g = jax.value_and_grad(loss)(qq, rr_=rr)
-                return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
-            return step
+    def ppo_fast_step(carry, init=False):
+        x, v_in, lp_ = _dep(None if init else carry, ln, vn, lp_old_pre)
 
-        ki = jax.random.split(jax.random.PRNGKey(12), 8)
-        ti, tpi, Bi, Ni, Ti = 33, 34, 64, 8, 10
-        qi = jax.random.normal(ki[0], (ti, Bi, Ni))
-        nqi = jax.random.normal(ki[1], (tpi, Bi, Ni))
-        ai = jax.random.randint(ki[2], (Bi,), 0, Ni)
-        nai = jax.random.randint(ki[3], (Bi,), 0, Ni)
-        ri = jax.random.normal(ki[4], (Ti, Bi))
-        di = jax.random.uniform(ki[5], (Bi,)) > 0.9
-        rq_i = jax.random.uniform(ki[6], (ti, Bi))
+        def loss(ln_, vn_, lpo_):
+            (pol, vl, el), _ = ops.ppo_error_with_logp_old(
+                ops.ppo_fast_data(ln_, lpo_, act_p, vn_, vo, adv, ret, None),
+                0.2, True, None)
+            return pol + 0.5 * vl - 0.01 * el
 
-        def iqn_step(fn):
-            def step(carry, init=False):
-                qq, nqq, rr = _dep(None if init else carry, qi, nqi, ri)
+        v, g = jax.value_and_grad(loss)(x, v_in, lp_)
+        return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
 
-                def loss(qq_, rr_):
-                    l, td = fn(origin.iqn_nstep_td_data(qq_, nqq, ai, nai, rr_, di, rq_i, None),
-                               gamma=0.95, nstep=Ti, kappa=0.9)
-                    return l + jnp.sum(td) * 1e-12
-                v, g = jax.value_and_grad(loss)(qq, rr_=rr)
-                return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
-            return step
-
-        pairs = [
-            ("qntd", qn_step(functools.partial(origin.q_nstep_td_error)),
-             qn_step(functools.partial(ops.q_nstep_td_error)), 20000),
-            ("qntd_rescale",
-             qn_step(functools.partial(origin.q_nstep_td_error_with_rescale)),
-             qn_step(functools.partial(ops.q_nstep_td_error_with_rescale)), 20000),
-            ("qrdqn", qrdqn_step(origin.qrdqn_nstep_td_error),
-             qrdqn_step(ops.qrdqn_nstep_td_error), 4000),
-            ("iqn", iqn_step(origin.iqn_nstep_td_error),
-             iqn_step(ops.iqn_nstep_td_error), 4000),
-        ]
-        sps = []
-        for nm, naive, fused, K in pairs:
-            try:
-                tn, cn = _bench_loop(naive, K, n=2)
-                tf, cf = _bench_loop(fused, K, n=2)
-            except Exception as e:  # noqa: BLE001
-                _log(f"  [fail] td_point_ops/{nm}: {type(e).__name__}: {e}")
-                continue
-            compile_s += cn + cf
-            entry[f"{nm}_naive_us"] = tn * 1e6
-            entry[f"{nm}_fused_us"] = tf * 1e6
-            sps.append(tn / tf)
-            _log(f"  td_point/{nm:<14} naive {tn*1e6:7.1f}us  fused {tf*1e6:7.1f}us"
-                 f"  ratio {tn/tf:5.2f}x")
-        if sps:
-            entry["speedup"] = math.exp(sum(math.log(s) for s in sps) / len(sps))
-            entry["compile_s"] = compile_s
-            entry["measure_s"] = time.time() - t0 - compile_s
-            details["td_point_ops"] = entry
-            _log(f"td_point_ops (evidence)       geomean ratio "
-                 f"{entry['speedup']:.2f}x (expected ~1.0: no kernel case)")
-
-    _td_point_ops()
+    run_stage(
+        "ppo_fast_grad_B4096_N128", "ppo fast(logp_old)+grad",
+        ppo_train_step(origin),
+        ppo_fast_step,
+        est_s=45, K=4000, bytes_mb=3 * Bp * Np * 4 / 1e6,
+    )
 
     # ----- C51 distributional TD: reference config B=128 N=128 atoms=51 -----
     Bd, Nd, n_atom, nstep_d = 128, 128, 51, 10
@@ -414,59 +422,51 @@ def main():
         bytes_mb=2 * Bd * Nd * n_atom * 4 / 1e6,
     )
 
-    # ----- PPO at the BASELINE batch scale: B=4096, N=128 -----
-    Bp, Np = 4096, 128
-    kp = jax.random.split(jax.random.PRNGKey(3), 7)
-    ln = jax.random.normal(kp[0], (Bp, Np)); lo = jax.random.normal(kp[1], (Bp, Np))
-    act_p = jax.random.randint(kp[2], (Bp,), 0, Np)
-    vn = jax.random.normal(kp[3], (Bp,)); vo = jax.random.normal(kp[4], (Bp,))
-    adv = jax.random.normal(kp[5], (Bp,)); ret = jax.random.normal(kp[6], (Bp,))
+    # ----- GAE / TD(lambda): BASELINE config T=1024, B=4096 -----
+    T, B = 1024, 4096
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    value = jax.random.normal(ks[0], (T + 1, B))
+    reward = jax.random.normal(ks[1], (T, B))
 
-    def ppo_train_step(fn_mod):
-        def loss(ln_, vn_, lo_):
-            (pol, vl, el), _ = fn_mod.ppo_error(
-                fn_mod.ppo_data(ln_, lo_, act_p, vn_, vo, adv, ret, None),
-                0.2, True, None)
-            return pol + 0.5 * vl - 0.01 * el
-
+    def gae_step(fn):
         def step(carry, init=False):
-            x, v_in, lo_ = _dep(None if init else carry, ln, vn, lo)
-            v, g = jax.value_and_grad(loss)(x, v_in, lo_)
-            return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
+            # Tie BOTH inputs to the carry: with value loop-invariant, XLA
+            # hoists the naive path's delta = r + g*V[1:] - V[:-1] subgraph
+            # out of the fori_loop and under-measures it.
+            v, r = _dep(None if init else carry, value, reward)
+            return fn(origin.gae_data(v, r))
         return step
 
-    # fwd+grad traffic: read ln twice (fwd + stash-free bwd recompute),
-    # write d_ln once, read lo once = 4 * B*N*4 bytes + O(B) vectors.
-    ppo_mb = 4 * Bp * Np * 4 / 1e6
+    gae_mb = (3 * T + 1) * B * 4 / 1e6  # value + reward in, adv out
     run_stage(
-        "ppo_grad_B4096_N128", "ppo+grad B=4096 N=128",
-        ppo_train_step(origin),
-        ppo_train_step(ops),
-        est_s=50, K=4000, bytes_mb=ppo_mb,
+        "gae_T1024_B4096", "gae T=1024 B=4096",
+        gae_step(functools.partial(origin.gae, gamma=0.99, lambda_=0.97)),
+        gae_step(functools.partial(ops.gae, gamma=0.99, lambda_=0.97)),
+        est_s=45, K=1500, bytes_mb=gae_mb,
     )
 
-    # PPO fast path: logp_old precomputed once per batch (what a multi-epoch
-    # PPO loop reuses, examples/ppo_training.py).  Naive side = the full
-    # origin recompute — the per-minibatch cost the fast path replaces.
-    lp_old_pre = ops.logp(lo, act_p)
+    # ----- LSTM: reference config seq=64, B=3, in=1792, hid=384, L=3 -----
+    S, Bl, I, H, L = 64, 3, 1792, 384, 3
+    kpar, kx = jax.random.split(jax.random.PRNGKey(2))
+    params = origin.init_lstm_params(kpar, I, H, L, "LN")
+    x = jax.random.normal(kx, (S, Bl, I))
 
-    def ppo_fast_step(carry, init=False):
-        x, v_in, lp_ = _dep(None if init else carry, ln, vn, lp_old_pre)
+    def lstm_step(fn):
+        def step(carry, init=False):
+            xx, = _dep(None if init else carry, x)
+            y, (h, c) = fn(params, xx, None, "LN")
+            return jnp.sum(y) * 1e-12 + 1.0
+        return step
 
-        def loss(ln_, vn_, lpo_):
-            (pol, vl, el), _ = ops.ppo_error_with_logp_old(
-                ops.ppo_fast_data(ln_, lpo_, act_p, vn_, vo, adv, ret, None),
-                0.2, True, None)
-            return pol + 0.5 * vl - 0.01 * el
-
-        v, g = jax.value_and_grad(loss)(x, v_in, lp_)
-        return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
-
+    # Weights dominate at B=3: per-layer Wx + Wh read once per call, plus
+    # x in / y out streams.
+    lstm_mb = ((I * 4 * H + H * 4 * H) + 2 * (H * 4 * H + H * 4 * H)
+               + S * Bl * (I + H)) * 4 / 1e6
     run_stage(
-        "ppo_fast_grad_B4096_N128", "ppo fast(logp_old)+grad",
-        ppo_train_step(origin),
-        ppo_fast_step,
-        est_s=45, K=4000, bytes_mb=3 * Bp * Np * 4 / 1e6,
+        "lstm_s64_b3_i1792_h384_l3", "lstm ref config",
+        lstm_step(origin.lstm),
+        lstm_step(network.lstm_fused),
+        est_s=50, K=1000, bytes_mb=lstm_mb,
     )
 
     # ----- scatter connection: reference config B=M=N=256, 16x16 -----
@@ -500,44 +500,6 @@ def main():
         est_s=45, K=300, bytes_mb=scat_mb,
     )
 
-    # ----- GAE / TD(lambda): BASELINE config T=1024, B=4096 -----
-    T, B = 1024, 4096
-    ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    value = jax.random.normal(ks[0], (T + 1, B))
-    reward = jax.random.normal(ks[1], (T, B))
-
-    def gae_step(fn):
-        def step(carry, init=False):
-            # Tie BOTH inputs to the carry: with value loop-invariant, XLA
-            # hoists the naive path's delta = r + g*V[1:] - V[:-1] subgraph
-            # out of the fori_loop and under-measures it.
-            v, r = _dep(None if init else carry, value, reward)
-            return fn(origin.gae_data(v, r))
-        return step
-
-    gae_mb = (3 * T + 1) * B * 4 / 1e6  # value + reward in, adv out
-    run_stage(
-        "gae_T1024_B4096", "gae T=1024 B=4096",
-        gae_step(functools.partial(origin.gae, gamma=0.99, lambda_=0.97)),
-        gae_step(functools.partial(ops.gae, gamma=0.99, lambda_=0.97)),
-        est_s=45, K=1500, bytes_mb=gae_mb,
-    )
-
-    def tdl_step(fn):
-        def step(carry, init=False):
-            v, r = _dep(None if init else carry, value, reward)
-            out = fn(origin.td_lambda_data(v, r, None))
-            return out * 1e-12 + jnp.float32(1.0)
-        return step
-
-    tdl_mb = (2 * T + 1) * B * 4 / 1e6  # inputs once; scalar out
-    run_stage(
-        "td_lambda_T1024_B4096", "td_lambda T=1024 B=4096",
-        tdl_step(origin.td_lambda_error),
-        tdl_step(ops.td_lambda_error),
-        est_s=55, K=1500, bytes_mb=tdl_mb,
-    )
-
     # ----- upgo + vtrace grad at the reference shape scaled to B=512 -----
     Tv, Bv, Nv = 128, 512, 128
     ks = jax.random.split(jax.random.PRNGKey(1), 5)
@@ -561,6 +523,21 @@ def main():
         est_s=50, K=500, bytes_mb=Tv * Bv * Nv * 4 / 1e6,
     )
 
+    def tdl_step(fn):
+        def step(carry, init=False):
+            v, r = _dep(None if init else carry, value, reward)
+            out = fn(origin.td_lambda_data(v, r, None))
+            return out * 1e-12 + jnp.float32(1.0)
+        return step
+
+    tdl_mb = (2 * T + 1) * B * 4 / 1e6  # inputs once; scalar out
+    run_stage(
+        "td_lambda_T1024_B4096", "td_lambda T=1024 B=4096",
+        tdl_step(origin.td_lambda_error),
+        tdl_step(ops.td_lambda_error),
+        est_s=55, K=1500, bytes_mb=tdl_mb,
+    )
+
     def vtrace_train_step(fn_mod):
         def loss(t_, v_, b_, r_):
             l = fn_mod.vtrace_error(
@@ -581,30 +558,6 @@ def main():
         vtrace_train_step(origin),
         vtrace_train_step(ops),
         est_s=65, K=300, bytes_mb=vtr_grad_mb,
-    )
-
-    # ----- LSTM: reference config seq=64, B=3, in=1792, hid=384, L=3 -----
-    S, Bl, I, H, L = 64, 3, 1792, 384, 3
-    kpar, kx = jax.random.split(jax.random.PRNGKey(2))
-    params = origin.init_lstm_params(kpar, I, H, L, "LN")
-    x = jax.random.normal(kx, (S, Bl, I))
-
-    def lstm_step(fn):
-        def step(carry, init=False):
-            xx, = _dep(None if init else carry, x)
-            y, (h, c) = fn(params, xx, None, "LN")
-            return jnp.sum(y) * 1e-12 + 1.0
-        return step
-
-    # Weights dominate at B=3: per-layer Wx + Wh read once per call, plus
-    # x in / y out streams.
-    lstm_mb = ((I * 4 * H + H * 4 * H) + 2 * (H * 4 * H + H * 4 * H)
-               + S * Bl * (I + H)) * 4 / 1e6
-    run_stage(
-        "lstm_s64_b3_i1792_h384_l3", "lstm ref config",
-        lstm_step(origin.lstm),
-        lstm_step(network.lstm_fused),
-        est_s=50, K=1000, bytes_mb=lstm_mb,
     )
 
     # ----- framework level: full actor-critic V-trace train step -----
@@ -670,10 +623,7 @@ def main():
     # ----- vtrace forward at the BASELINE north-star config T=1024 B=4096.
     # N=32 keeps the two (T, B, N) logits tensors at 537MB each (N=128 would
     # be 2.1GB apiece — past what the naive lowering's softmax temporaries
-    # leave free on a 16GB chip); T and B are the BASELINE-pinned dims.
-    # Runs LAST: its cold compile is the one the remote-compile service has
-    # been seen to drop after ~20min ("Broken pipe"), and a hang here must
-    # not take the stages after it down with it (2026-08-20 pass-1 log). ----
+    # leave free on a 16GB chip); T and B are the BASELINE-pinned dims. ----
     Tn, Bn, Nn = 1024, 4096, 32
     kn = jax.random.split(jax.random.PRNGKey(7), 5)
     to_n = jax.random.normal(kn[0], (Tn, Bn, Nn))
@@ -696,6 +646,257 @@ def main():
         vtrace_ns_step(ops.vtrace_error),
         est_s=70, K=60, bytes_mb=vtr_ns_mb,
     )
+
+    # =====================================================================
+    # Evidence stages (in_geomean=0), compile-light, run after the headline
+    # group: every reference-benchmarked surface gets a BENCH row
+    # (reference tests/test_padding.py:76-87, tests/test_actor_critic.py).
+    # =====================================================================
+
+    def _padding_ops():
+        """Host-side op: wall-clock the full Padding/UnPadding round trip
+        (bucketing + ragged pack — numpy/C++ on both sides, no jit), origin
+        oracle vs ops product, at the reference config (B=64, ragged ranges,
+        group=4 oracle DP; /root/reference/tests/test_padding.py:10-13)."""
+        if not _selected("padding_ops"):
+            return
+        if _remaining() < 15:
+            _log(f"  [skip] padding_ops: {_remaining():.0f}s left")
+            return
+        import numpy as np
+        t0 = time.time()
+        rng = np.random.default_rng(0)
+        B64 = 64
+        data = {
+            "1d": [np.asarray(rng.standard_normal(rng.integers(32, 128)),
+                              np.float32) for _ in range(B64)],
+            "2d": [np.asarray(rng.standard_normal(
+                (rng.integers(48, 80), rng.integers(32, 64))), np.float32)
+                for _ in range(B64)],
+            "3d": [np.asarray(rng.standard_normal(
+                (rng.integers(24, 32), rng.integers(24, 32),
+                 rng.integers(32, 40))), np.float32) for _ in range(B64)],
+        }
+        entry = {"in_geomean": 0.0}
+        ratios = []
+        for nd, xs in data.items():
+            o_pad = getattr(origin, f"Padding{nd.upper()}")
+            f_pad = getattr(ops, f"Padding{nd.upper()}")
+            for mode_name, kw in (("", {}), ("_grp4",
+                                             {"group": 4,
+                                              "group_mode": "oracle"})):
+                reps = 1 if _SMOKE else (3 if nd == "1d" else 2)
+                times = {}
+                for kind, fn in (("naive", o_pad), ("fused", f_pad)):
+                    best = float("inf")
+                    for _ in range(reps + 1):  # first rep warms caches
+                        t = time.time()
+                        fn(list(xs), **kw)
+                        best = min(best, time.time() - t)
+                    times[kind] = best
+                entry[f"pad{nd}{mode_name}_naive_us"] = times["naive"] * 1e6
+                entry[f"pad{nd}{mode_name}_fused_us"] = times["fused"] * 1e6
+                ratios.append(times["naive"] / times["fused"])
+                _log(f"  padding/{nd}{mode_name:<6} naive "
+                     f"{times['naive']*1e3:8.2f}ms  fused "
+                     f"{times['fused']*1e3:8.2f}ms  ratio "
+                     f"{ratios[-1]:5.2f}x")
+        entry["speedup"] = math.exp(sum(math.log(r) for r in ratios)
+                                    / len(ratios))
+        entry["measure_s"] = time.time() - t0
+        entry["compile_s"] = 0.0
+        details["padding_ops"] = entry
+        _log(f"padding_ops (evidence)        geomean ratio "
+             f"{entry['speedup']:.2f}x (host bucketing+pack)")
+
+    _padding_ops()
+
+    def _actor_critic_ops():
+        """Model-helper evidence at the reference configs
+        (/root/reference/tests/test_actor_critic.py:10-20): update_ae's
+        naive side is the straightforward take_along_axis lowering (the
+        dynamic gather our iota-compare formulation replaces);
+        lstm_activation / pre_sample have no kernel case — jit(origin-style
+        math) IS the op, so ~1.0x is the claim."""
+        if not _selected("actor_critic_ops"):
+            return
+        if _remaining() < 45:
+            _log(f"  [skip] actor_critic_ops: {_remaining():.0f}s left")
+            return
+        from di_hpc_tpu import models as M
+        entry = {"in_geomean": 0.0}
+        t0 = time.time()
+        compile_s = 0.0
+
+        # update_ae: B=8, entities=182, dim=1024.
+        ka = jax.random.split(jax.random.PRNGKey(20), 4)
+        Ba, Ma, Da = 8, 182, 1024
+        ae = jax.random.normal(ka[0], (Ba, Da))
+        ke = jax.random.normal(ka[1], (Ba, Ma, Da))
+        se = jax.random.randint(ka[2], (Ba,), 0, Ma + 1)
+        en = jnp.full((Ba,), Ma, jnp.int32)
+
+        def ae_naive_step(carry, init=False):
+            ae_, ke_ = _dep(None if init else carry, ae, ke)
+            end = se == en
+            idx = jnp.minimum(se, Ma - 1)
+            picked = jnp.take_along_axis(ke_, idx[:, None, None], axis=1)[:, 0]
+            out = ae_ + jnp.where(end[:, None], 0.0, picked)
+            return jnp.sum(out) * 1e-12 + 1.0
+
+        def ae_fused_step(carry, init=False):
+            ae_, ke_ = _dep(None if init else carry, ae, ke)
+            out = M.update_ae(ae_, ke_, se, en)
+            return jnp.sum(out) * 1e-12 + 1.0
+
+        # lstm_activation: B=8, hidden=32.
+        kl = jax.random.split(jax.random.PRNGKey(21), 5)
+        Bh, Hh = 8, 32
+        in_x = jax.random.normal(kl[0], (Bh, 4 * Hh))
+        in_h = jax.random.normal(kl[1], (Bh, 4 * Hh))
+        bias_l = jax.random.normal(kl[2], (4 * Hh,))
+        h_l = jax.random.normal(kl[3], (Bh, Hh))
+        c_l = jax.random.normal(kl[4], (Bh, Hh))
+
+        def lact_step(carry, init=False):
+            x_, h_ = _dep(None if init else carry, in_x, in_h)
+            hn, cn = M.lstm_activation(x_, h_, bias_l, h_l, c_l)
+            return jnp.sum(hn) * 1e-12 + jnp.sum(cn) * 1e-12 + 1.0
+
+        # pre_sample: B=8, entities=182, hidden=32.
+        kp_ = jax.random.split(jax.random.PRNGKey(22), 3)
+        Bp_, Mp_, Hp_ = 8, 182, 32
+        mat = jax.random.normal(kp_[0], (Bp_, Mp_, Hp_))
+        vec = jax.random.normal(kp_[1], (Bp_, Hp_))
+        mask = jax.random.uniform(kp_[2], (Bp_, Mp_)) > 0.1
+
+        def psample_step(carry, init=False):
+            m_, v_ = _dep(None if init else carry, mat, vec)
+            out = M.pre_sample(m_, v_, mask)
+            return jnp.sum(out) * 1e-12 + 1.0
+
+        pairs = [
+            ("update_ae", ae_naive_step, ae_fused_step, 20000),
+            ("lstm_activation", lact_step, lact_step, 20000),
+            ("pre_sample", psample_step, psample_step, 20000),
+        ]
+        ratios = []
+        for nm, naive, fused, K in pairs:
+            try:
+                tn, cn = _bench_loop(naive, K, n=2)
+                if fused is naive:
+                    tf, cf = tn, 0.0  # no-kernel-case: the op IS the lowering
+                else:
+                    tf, cf = _bench_loop(fused, K, n=2)
+            except Exception as e:  # noqa: BLE001
+                _log(f"  [fail] actor_critic/{nm}: {type(e).__name__}: {e}")
+                continue
+            compile_s += cn + cf
+            entry[f"{nm}_naive_us"] = tn * 1e6
+            entry[f"{nm}_fused_us"] = tf * 1e6
+            ratios.append(tn / tf)
+            _log(f"  ac/{nm:<18} naive {tn*1e6:7.1f}us  fused {tf*1e6:7.1f}us"
+                 f"  ratio {tn/tf:5.2f}x")
+        if ratios:
+            entry["speedup"] = math.exp(sum(math.log(r) for r in ratios)
+                                        / len(ratios))
+            entry["compile_s"] = compile_s
+            entry["measure_s"] = time.time() - t0 - compile_s
+            details["actor_critic_ops"] = entry
+            _log(f"actor_critic_ops (evidence)   geomean ratio "
+                 f"{entry['speedup']:.2f}x")
+
+    _actor_critic_ops()
+
+    # ----- TD point ops (evidence): qntd + iqn at reference configs.
+    # Trimmed from 4 sub-ops to 2 in round 3: the r2 8-program version was
+    # the single most expensive compile in the suite (628-934s cold) and
+    # starved the stages after it; one simple + one quantile family member
+    # carry the no-kernel-case claim (rescale/qrdqn follow identically). ----
+    def _td_point_ops():
+        if not _selected("td_point_ops"):
+            return
+        if _remaining() < 60:
+            _log(f"  [skip] td_point_ops: {_remaining():.0f}s left")
+            return
+        entry = {"in_geomean": 0.0, "speedup": 1.0}
+        t0 = time.time()
+        compile_s = 0.0
+
+        # qntd: reference config T=nstep=5, B=64, N=64.
+        kq = jax.random.split(jax.random.PRNGKey(10), 6)
+        Bq, Nq, nstep = 64, 64, 5
+        q = jax.random.normal(kq[0], (Bq, Nq))
+        nq = jax.random.normal(kq[1], (Bq, Nq))
+        aq = jax.random.randint(kq[2], (Bq,), 0, Nq)
+        naq = jax.random.randint(kq[3], (Bq,), 0, Nq)
+        rq = jax.random.normal(kq[4], (nstep, Bq))
+        dq = jax.random.uniform(kq[5], (Bq,)) > 0.9
+
+        def qn_step(fn):
+            def step(carry, init=False):
+                qq, nqq, rr = _dep(None if init else carry, q, nq, rq)
+
+                def loss(qq_, rr_):
+                    l, td = fn(origin.q_nstep_td_data(qq_, nqq, aq, naq, rr_, dq, None),
+                               gamma=0.95, nstep=nstep)
+                    return l + jnp.sum(td) * 1e-12
+                v, g = jax.value_and_grad(loss)(qq, rr_=rr)
+                return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
+            return step
+
+        # iqn: tau=33, tau'=34, T=10, B=64, N=8, kappa=0.9.
+        ki = jax.random.split(jax.random.PRNGKey(12), 8)
+        ti, tpi, Bi, Ni, Ti = 33, 34, 64, 8, 10
+        qi = jax.random.normal(ki[0], (ti, Bi, Ni))
+        nqi = jax.random.normal(ki[1], (tpi, Bi, Ni))
+        ai = jax.random.randint(ki[2], (Bi,), 0, Ni)
+        nai = jax.random.randint(ki[3], (Bi,), 0, Ni)
+        ri = jax.random.normal(ki[4], (Ti, Bi))
+        di = jax.random.uniform(ki[5], (Bi,)) > 0.9
+        rq_i = jax.random.uniform(ki[6], (ti, Bi))
+
+        def iqn_step(fn):
+            def step(carry, init=False):
+                qq, nqq, rr = _dep(None if init else carry, qi, nqi, ri)
+
+                def loss(qq_, rr_):
+                    l, td = fn(origin.iqn_nstep_td_data(qq_, nqq, ai, nai, rr_, di, rq_i, None),
+                               gamma=0.95, nstep=Ti, kappa=0.9)
+                    return l + jnp.sum(td) * 1e-12
+                v, g = jax.value_and_grad(loss)(qq, rr_=rr)
+                return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
+            return step
+
+        pairs = [
+            ("qntd", qn_step(functools.partial(origin.q_nstep_td_error)),
+             qn_step(functools.partial(ops.q_nstep_td_error)), 20000),
+            ("iqn", iqn_step(origin.iqn_nstep_td_error),
+             iqn_step(ops.iqn_nstep_td_error), 4000),
+        ]
+        sps = []
+        for nm, naive, fused, K in pairs:
+            try:
+                tn, cn = _bench_loop(naive, K, n=2)
+                tf, cf = _bench_loop(fused, K, n=2)
+            except Exception as e:  # noqa: BLE001
+                _log(f"  [fail] td_point_ops/{nm}: {type(e).__name__}: {e}")
+                continue
+            compile_s += cn + cf
+            entry[f"{nm}_naive_us"] = tn * 1e6
+            entry[f"{nm}_fused_us"] = tf * 1e6
+            sps.append(tn / tf)
+            _log(f"  td_point/{nm:<14} naive {tn*1e6:7.1f}us  fused {tf*1e6:7.1f}us"
+                 f"  ratio {tn/tf:5.2f}x")
+        if sps:
+            entry["speedup"] = math.exp(sum(math.log(s) for s in sps) / len(sps))
+            entry["compile_s"] = compile_s
+            entry["measure_s"] = time.time() - t0 - compile_s
+            details["td_point_ops"] = entry
+            _log(f"td_point_ops (evidence)       geomean ratio "
+                 f"{entry['speedup']:.2f}x (expected ~1.0: no kernel case)")
+
+    _td_point_ops()
 
     _emit_result_and_exit(exit_code=None)
 

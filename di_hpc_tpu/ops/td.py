@@ -19,6 +19,8 @@ detaches (origin/td.py:171,290,339; kernel grad stashes only flow to q/dist).
 from __future__ import annotations
 
 import functools
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -222,8 +224,7 @@ def iqn_nstep_td_error(data: iqn_nstep_td_data, gamma: float, nstep: int = 1,
     # reshapes to (tau, B) (td.py:342), tolerating the reference/DI-engine
     # (tau, B, 1) and flat layouts — validation must not narrow that.
     tau_, B_ = data.q.shape[:2]
-    import math as _math
-    if _math.prod(data.replay_quantiles.shape) != tau_ * B_:
+    if math.prod(data.replay_quantiles.shape) != tau_ * B_:
         _fail("iqn_nstep_td_error",
               f"replay_quantiles must have tau*B = {tau_ * B_} elements "
               f"(reshaped to {(tau_, B_)}); got {data.replay_quantiles.shape}")
@@ -249,6 +250,15 @@ class TDLambda:
 
 
 class QNStepTD:
+    """Shape-static n-step TD module (reference hpc_rll/rl_utils/td.py:190).
+
+    NOTE: `T` here IS the n-step horizon — reward must be (T, B) and the
+    return is a T-step discounted sum.  This mirrors the reference wrapper,
+    whose constructor `T` is the nstep reward length (its own test uses
+    T=1024, computing a 1024-step return, tests/test_qntd.py:10-13).  For an
+    explicit name use the functional `q_nstep_td_error(..., nstep=...)`.
+    """
+
     def __init__(self, T: int, B: int, N: int):
         self.T, self.B, self.N = T, B, N
 
@@ -264,6 +274,10 @@ class QNStepTD:
 
 
 class QNStepTDRescale:
+    """QNStepTD with R2D2 value rescaling; `T` IS the n-step horizon (the
+    reward length), exactly as in QNStepTD and the reference wrapper
+    (hpc_rll/rl_utils/td.py:280)."""
+
     def __init__(self, T: int, B: int, N: int):
         self.T, self.B, self.N = T, B, N
 

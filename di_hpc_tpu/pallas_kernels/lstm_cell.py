@@ -47,18 +47,20 @@ _WH_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 # LN statistics are SINGLE-PASS (var = E[x^2] - E[x]^2): one fewer (blk, 4H)
-# VPU traversal than the (x - mean)^2 form.  Numerically safe here because
-# LN inputs are zero-centred gate pre-activations (mean^2 ~ var, no
-# catastrophic cancellation); measured 203.5 vs 207.0 us at S=32, B=256,
-# H=512 and part of the 17.8% ref-config win (profile_lstm_r2.py,
-# 2026-08-20).  The backward kernels recompute stats with the SAME
-# formulation so fwd and bwd see identical values.
+# VPU traversal than the (x - mean)^2 form.  Measured 203.5 vs 207.0 us at
+# S=32, B=256, H=512 and part of the 17.8% ref-config win
+# (profile_lstm_r2.py, 2026-08-20).  The backward kernels recompute stats
+# with the SAME formulation so fwd and bwd see identical values.  The
+# m2 - m*m subtraction can round negative beyond eps when mean^2 >> var
+# (possible for the RAW x @ Wx projection after training, which is not
+# guaranteed zero-centred), so it is clamped at 0 — free on the VPU and
+# identical in fwd and bwd.
 
 
 def _ln_stats(x):
     m = jnp.mean(x, axis=-1, keepdims=True)
     m2 = jnp.mean(x * x, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(m2 - m * m + LAYERNORM_EPS)
+    rstd = jax.lax.rsqrt(jnp.maximum(m2 - m * m, 0.0) + LAYERNORM_EPS)
     return m, rstd
 
 

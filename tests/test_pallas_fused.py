@@ -155,10 +155,9 @@ def test_lstm_layer_kernel_routing(interpret, f32_matmuls, key):
 ])
 def test_lstm_layer_fwd_ragged_and_split_halves(interpret, f32_matmuls, key,
                                                 monkeypatch, B, force_blk):
-    """Forward kernel with a forced B-block: exercises the ragged last block
-    (B % blk != 0) and both sides of the split-halves MXU/VPU overlap gate
-    (halves engage at blk % 16 == 0 and blk >= 16; odd or 8-mod-16 blocks
-    take the single path)."""
+    """Forward kernel with a forced B-block: exercises ragged last-block
+    handling (B % blk != 0, where Pallas bounds-clips the stream outputs)
+    across odd/unaligned block sizes, under the U=2 time-unrolled kernel."""
     from di_hpc_tpu.network.lstm import lstm_fused
     from di_hpc_tpu.origin.rnn import init_lstm_params, lstm
     from di_hpc_tpu.pallas_kernels import lstm_cell
