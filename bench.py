@@ -224,39 +224,49 @@ def _dep(carry, *arrays):
     return out[1:]
 
 
-def _bench_loop(make_body, K, n=3):
+def _bench_loop(make_body, K, n=3, args=()):
     """Per-application seconds from ONE compiled fori_loop of K data-dependent
     op applications (single compile per measurement; min-of-n, dispatch
     overhead subtracted).  K must be large enough that K*op_time >> the
-    ~30ms dispatch overhead jitter.  Returns (seconds, compile_s)."""
+    ~30ms dispatch overhead jitter.  Returns (seconds, compile_s).
+
+    `args` (a pytree of device arrays) is passed to make_body(carry, args,
+    init=...) as a JIT ARGUMENT — never close over the op's input arrays:
+    closed-over arrays are inlined into the HLO module as dense constants,
+    and the module must be serialized to the tunnel's remote compile
+    service.  The north-star vtrace stage captures >1GB of logits that way
+    (~2 bytes of module text per array byte), which is exactly the
+    reproducible ~20-min broken-pipe compile that kept it out of every
+    round-2 record; as arguments the same program lowers to a few KB.
+    """
 
     if _SMOKE:
         K, n = 2, 1
 
     @jax.jit
-    def run():
+    def run(a):
         def body(i, carry):
-            return make_body(carry)
-        out = jax.lax.fori_loop(0, K, body, make_body(None, init=True))
+            return make_body(carry, a)
+        out = jax.lax.fori_loop(0, K, body, make_body(None, a, init=True))
         return jnp.sum(jax.tree.leaves(out)[0])
 
     t0 = time.time()
-    s = float(run())  # compile + warm up
+    s = float(run(args))  # compile + warm up
     compile_s = time.time() - t0
     assert s == s, "NaN in benchmark output"
     best = float("inf")
     for _ in range(n):
         t = time.time()
-        float(run())
+        float(run(args))
         best = min(best, time.time() - t)
     return max((best - _dispatch_overhead()) / K, 1e-9), compile_s
 
 
 def bench_op(name, naive_step, fused_step, K=1000, n=3, bytes_mb=None,
-             flops_g=None):
+             flops_g=None, args=()):
     res, compile_s, t0 = {}, 0.0, time.time()
     for kind, step in (("naive", naive_step), ("fused", fused_step)):
-        res[kind], c = _bench_loop(step, K, n)
+        res[kind], c = _bench_loop(step, K, n, args=args)
         compile_s += c
         _log(f"  [{name}/{kind}] compile {c:.1f}s, total {time.time()-t0:.1f}s")
     speedup = res["naive"] / res["fused"]
@@ -331,15 +341,23 @@ def main():
     vn = jax.random.normal(kp[3], (Bp,)); vo = jax.random.normal(kp[4], (Bp,))
     adv = jax.random.normal(kp[5], (Bp,)); ret = jax.random.normal(kp[6], (Bp,))
 
-    def ppo_train_step(fn_mod):
-        def loss(ln_, vn_, lo_):
-            (pol, vl, el), _ = fn_mod.ppo_error(
-                fn_mod.ppo_data(ln_, lo_, act_p, vn_, vo, adv, ret, None),
-                0.2, True, None)
-            return pol + 0.5 * vl - 0.01 * el
+    # logp_old precomputed once per batch for the fast path (what a
+    # multi-epoch PPO loop reuses, examples/ppo_training.py).
+    lp_old_pre = ops.logp(lo, act_p)
+    ppo_args = (ln, vn, lo, lp_old_pre, act_p, vo, adv, ret)
 
-        def step(carry, init=False):
-            x, v_in, lo_ = _dep(None if init else carry, ln, vn, lo)
+    def ppo_train_step(fn_mod):
+        def step(carry, a, init=False):
+            ln_a, vn_a, lo_a, _lp, act_a, vo_a, adv_a, ret_a = a
+
+            def loss(ln_, vn_, lo_):
+                (pol, vl, el), _ = fn_mod.ppo_error(
+                    fn_mod.ppo_data(ln_, lo_, act_a, vn_, vo_a, adv_a,
+                                    ret_a, None),
+                    0.2, True, None)
+                return pol + 0.5 * vl - 0.01 * el
+
+            x, v_in, lo_ = _dep(None if init else carry, ln_a, vn_a, lo_a)
             v, g = jax.value_and_grad(loss)(x, v_in, lo_)
             return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
         return step
@@ -353,20 +371,19 @@ def main():
         "ppo_grad_B4096_N128", "ppo+grad B=4096 N=128",
         ppo_train_step(origin),
         ppo_train_step(ops),
-        est_s=50, K=4000, bytes_mb=ppo_mb, in_geomean=0,
+        est_s=50, K=4000, bytes_mb=ppo_mb, in_geomean=0, args=ppo_args,
     )
 
-    # PPO fast path: logp_old precomputed once per batch (what a multi-epoch
-    # PPO loop reuses, examples/ppo_training.py).  Naive side = the full
-    # origin recompute — the per-minibatch cost the fast path replaces.
-    lp_old_pre = ops.logp(lo, act_p)
-
-    def ppo_fast_step(carry, init=False):
-        x, v_in, lp_ = _dep(None if init else carry, ln, vn, lp_old_pre)
+    # PPO fast path: naive side = the full origin recompute — the
+    # per-minibatch cost the fast path replaces.
+    def ppo_fast_step(carry, a, init=False):
+        ln_a, vn_a, _lo, lp_a, act_a, vo_a, adv_a, ret_a = a
+        x, v_in, lp_ = _dep(None if init else carry, ln_a, vn_a, lp_a)
 
         def loss(ln_, vn_, lpo_):
             (pol, vl, el), _ = ops.ppo_error_with_logp_old(
-                ops.ppo_fast_data(ln_, lpo_, act_p, vn_, vo, adv, ret, None),
+                ops.ppo_fast_data(ln_, lpo_, act_a, vn_, vo_a, adv_a,
+                                  ret_a, None),
                 0.2, True, None)
             return pol + 0.5 * vl - 0.01 * el
 
@@ -377,7 +394,7 @@ def main():
         "ppo_fast_grad_B4096_N128", "ppo fast(logp_old)+grad",
         ppo_train_step(origin),
         ppo_fast_step,
-        est_s=45, K=4000, bytes_mb=3 * Bp * Np * 4 / 1e6,
+        est_s=45, K=4000, bytes_mb=3 * Bp * Np * 4 / 1e6, args=ppo_args,
     )
 
     # ----- C51 distributional TD: reference config B=128 N=128 atoms=51 -----
@@ -390,8 +407,10 @@ def main():
     d_rew = jax.random.normal(kd[4], (nstep_d, Bd))
     d_done = jax.random.uniform(kd[5], (Bd,)) > 0.9
 
+    dntd_args = (d_dist, d_next, d_act, d_nact, d_rew, d_done)
+
     def dntd_step(fn):
-        def step(carry, init=False):
+        def step(carry, a, init=False):
             # Tie BOTH dist and reward to the carry: the categorical
             # projection depends only on reward, and a loop-invariant
             # projection gets hoisted out of the fori_loop, under-measuring
@@ -402,9 +421,10 @@ def main():
             # benchmarked this way; measured one-off numbers (131us naive /
             # 1.3us fused) live in docs/DESIGN.md and
             # bench_results/profile_dist_td.py.
-            x, xn, r = _dep(None if init else carry, d_dist, d_next, d_rew)
+            dist_a, next_a, act_a, nact_a, rew_a, done_a = a
+            x, xn, r = _dep(None if init else carry, dist_a, next_a, rew_a)
             v, td = fn(origin.dist_nstep_td_data(
-                x, xn, d_act, d_nact, r, d_done, None),
+                x, xn, act_a, nact_a, r, done_a, None),
                 0.95, -10.0, 10.0, n_atom, nstep_d)
             return v * 1e-12 + jnp.sum(td) * 1e-12 + 1.0
         return step
@@ -413,6 +433,7 @@ def main():
         "dntd_B128_N128_atoms51", "c51 B=128 N=128",
         dntd_step(origin.dist_nstep_td_error),
         dntd_step(ops.dist_nstep_td_error),
+        args=dntd_args,
         # The fused op is ~5us; K must push the loop total far above the
         # ~30ms (+-30%) tunnel dispatch jitter or the speedup is noise.
         est_s=50, K=20000,
@@ -429,11 +450,11 @@ def main():
     reward = jax.random.normal(ks[1], (T, B))
 
     def gae_step(fn):
-        def step(carry, init=False):
+        def step(carry, a, init=False):
             # Tie BOTH inputs to the carry: with value loop-invariant, XLA
             # hoists the naive path's delta = r + g*V[1:] - V[:-1] subgraph
             # out of the fori_loop and under-measures it.
-            v, r = _dep(None if init else carry, value, reward)
+            v, r = _dep(None if init else carry, *a)
             return fn(origin.gae_data(v, r))
         return step
 
@@ -442,7 +463,7 @@ def main():
         "gae_T1024_B4096", "gae T=1024 B=4096",
         gae_step(functools.partial(origin.gae, gamma=0.99, lambda_=0.97)),
         gae_step(functools.partial(ops.gae, gamma=0.99, lambda_=0.97)),
-        est_s=45, K=1500, bytes_mb=gae_mb,
+        est_s=45, K=1500, bytes_mb=gae_mb, args=(value, reward),
     )
 
     # ----- LSTM: reference config seq=64, B=3, in=1792, hid=384, L=3 -----
@@ -452,9 +473,10 @@ def main():
     x = jax.random.normal(kx, (S, Bl, I))
 
     def lstm_step(fn):
-        def step(carry, init=False):
-            xx, = _dep(None if init else carry, x)
-            y, (h, c) = fn(params, xx, None, "LN")
+        def step(carry, a, init=False):
+            params_a, x_a = a
+            xx, = _dep(None if init else carry, x_a)
+            y, (h, c) = fn(params_a, xx, None, "LN")
             return jnp.sum(y) * 1e-12 + 1.0
         return step
 
@@ -466,7 +488,7 @@ def main():
         "lstm_s64_b3_i1792_h384_l3", "lstm ref config",
         lstm_step(origin.lstm),
         lstm_step(network.lstm_fused),
-        est_s=50, K=1000, bytes_mb=lstm_mb,
+        est_s=50, K=1000, bytes_mb=lstm_mb, args=(params, x),
     )
 
     # ----- scatter connection: reference config B=M=N=256, 16x16 -----
@@ -481,11 +503,13 @@ def main():
                         jax.random.randint(ksc[2], (Bs, Ms), 0, Ws)], axis=-1)
 
     def scatter_train_step(fn):
-        def loss(x_):
-            return jnp.sum(fn(x_, (Hs, Ws), sc_loc, "add") ** 2)
+        def step(carry, a, init=False):
+            sc_x_a, sc_loc_a = a
 
-        def step(carry, init=False):
-            x_, = _dep(None if init else carry, sc_x)
+            def loss(x_):
+                return jnp.sum(fn(x_, (Hs, Ws), sc_loc_a, "add") ** 2)
+
+            x_, = _dep(None if init else carry, sc_x_a)
             v, g = jax.value_and_grad(loss)(x_)
             return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
         return step
@@ -497,7 +521,7 @@ def main():
         "scatter_add_grad_B256_M256", "scatter add+grad B=M=N=256",
         scatter_train_step(lambda x, s, l, m: _scat_naive(x, s, l, m)),
         scatter_train_step(_scat_fused),
-        est_s=45, K=300, bytes_mb=scat_mb,
+        est_s=45, K=300, bytes_mb=scat_mb, args=(sc_x, sc_loc),
     )
 
     # ----- upgo + vtrace grad at the reference shape scaled to B=512 -----
@@ -511,9 +535,11 @@ def main():
     rhos = jnp.exp(jax.random.normal(jax.random.PRNGKey(5), (Tv, Bv)) * 0.1)
 
     def upgo_step(fn):
-        def step(carry, init=False):
-            t, rh, r, v = _dep(None if init else carry, to, rhos, rew_v, val_v)
-            return fn(t, rh, act, r, v) * 1e-12 + 1.0
+        def step(carry, a, init=False):
+            to_a, rhos_a, act_a, rew_a, val_a = a
+            t, rh, r, v = _dep(None if init else carry, to_a, rhos_a,
+                               rew_a, val_a)
+            return fn(t, rh, act_a, r, v) * 1e-12 + 1.0
         return step
 
     run_stage(
@@ -521,11 +547,12 @@ def main():
         upgo_step(origin.upgo_loss),
         upgo_step(ops.upgo_loss),
         est_s=50, K=500, bytes_mb=Tv * Bv * Nv * 4 / 1e6,
+        args=(to, rhos, act, rew_v, val_v),
     )
 
     def tdl_step(fn):
-        def step(carry, init=False):
-            v, r = _dep(None if init else carry, value, reward)
+        def step(carry, a, init=False):
+            v, r = _dep(None if init else carry, *a)
             out = fn(origin.td_lambda_data(v, r, None))
             return out * 1e-12 + jnp.float32(1.0)
         return step
@@ -535,17 +562,21 @@ def main():
         "td_lambda_T1024_B4096", "td_lambda T=1024 B=4096",
         tdl_step(origin.td_lambda_error),
         tdl_step(ops.td_lambda_error),
-        est_s=55, K=1500, bytes_mb=tdl_mb,
+        est_s=55, K=1500, bytes_mb=tdl_mb, args=(value, reward),
     )
 
     def vtrace_train_step(fn_mod):
-        def loss(t_, v_, b_, r_):
-            l = fn_mod.vtrace_error(
-                fn_mod.vtrace_data(t_, b_, act, v_, r_, None))
-            return l.policy_loss + 0.5 * l.value_loss - 0.01 * l.entropy_loss
+        def step(carry, a, init=False):
+            to_a, bo_a, act_a, val_a, rew_a = a
 
-        def step(carry, init=False):
-            t, v, b, r = _dep(None if init else carry, to, val_v, bo, rew_v)
+            def loss(t_, v_, b_, r_):
+                l = fn_mod.vtrace_error(
+                    fn_mod.vtrace_data(t_, b_, act_a, v_, r_, None))
+                return (l.policy_loss + 0.5 * l.value_loss
+                        - 0.01 * l.entropy_loss)
+
+            t, v, b, r = _dep(None if init else carry, to_a, val_a, bo_a,
+                              rew_a)
             out, g = jax.value_and_grad(loss, argnums=(0, 1))(t, v, b, r)
             return out * 1e-12 + jnp.sum(g[0]) * 1e-12 + 1.0
         return step
@@ -558,6 +589,7 @@ def main():
         vtrace_train_step(origin),
         vtrace_train_step(ops),
         est_s=65, K=300, bytes_mb=vtr_grad_mb,
+        args=(to, bo, act, val_v, rew_v),
     )
 
     # ----- framework level: full actor-critic V-trace train step -----
@@ -594,12 +626,13 @@ def main():
                 batch.rewards, None))
             return l.policy_loss + 0.5 * l.value_loss - 0.01 * l.entropy_loss
 
-        def step(carry, init=False):
-            obs_, rew_, blog_ = _dep(None if init else carry, tb.obs,
-                                     tb.rewards, tb.behaviour_logits)
-            batch = TrainBatch(obs_, tb.actions, rew_, blog_)
-            lval, grads = jax.value_and_grad(loss_fn)(params0, batch)
-            upd, _ = optimizer.update(grads, opt0, params0)
+        def step(carry, a, init=False):
+            params_a, tb_a, opt_a = a
+            obs_, rew_, blog_ = _dep(None if init else carry, tb_a.obs,
+                                     tb_a.rewards, tb_a.behaviour_logits)
+            batch = TrainBatch(obs_, tb_a.actions, rew_, blog_)
+            lval, grads = jax.value_and_grad(loss_fn)(params_a, batch)
+            upd, _ = optimizer.update(grads, opt_a, params_a)
             return lval * 1e-12 + jnp.sum(upd.embed_b) * 1e-12 + 1.0
         return step
 
@@ -618,6 +651,7 @@ def main():
         train_step_factory(lstm_naive, origin.vtrace_error),
         train_step_factory(lstm_fused, ops.vtrace_error),
         est_s=120, K=50, n=3, flops_g=train_flops_g,
+        args=(params0, tb, opt0),
     )
 
     # ----- vtrace forward at the BASELINE north-star config T=1024 B=4096.
@@ -633,9 +667,11 @@ def main():
     rew_n = jax.random.normal(kn[4], (Tn, Bn))
 
     def vtrace_ns_step(fn):
-        def step(carry, init=False):
-            t, b, v, r = _dep(None if init else carry, to_n, bo_n, val_n, rew_n)
-            out = fn(origin.vtrace_data(t, b, act_n, v, r, None))
+        def step(carry, a, init=False):
+            to_a, bo_a, act_a, val_a, rew_a = a
+            t, b, v, r = _dep(None if init else carry, to_a, bo_a, val_a,
+                              rew_a)
+            out = fn(origin.vtrace_data(t, b, act_a, v, r, None))
             return (out.policy_loss + out.value_loss + out.entropy_loss) * 1e-12 + 1.0
         return step
 
@@ -645,6 +681,7 @@ def main():
         vtrace_ns_step(origin.vtrace_error),
         vtrace_ns_step(ops.vtrace_error),
         est_s=70, K=60, bytes_mb=vtr_ns_mb,
+        args=(to_n, bo_n, act_n, val_n, rew_n),
     )
 
     # =====================================================================
@@ -736,17 +773,21 @@ def main():
         se = jax.random.randint(ka[2], (Ba,), 0, Ma + 1)
         en = jnp.full((Ba,), Ma, jnp.int32)
 
-        def ae_naive_step(carry, init=False):
-            ae_, ke_ = _dep(None if init else carry, ae, ke)
-            end = se == en
-            idx = jnp.minimum(se, Ma - 1)
+        ae_args = (ae, ke, se, en)
+
+        def ae_naive_step(carry, a, init=False):
+            ae_a, ke_a, se_a, en_a = a
+            ae_, ke_ = _dep(None if init else carry, ae_a, ke_a)
+            end = se_a == en_a
+            idx = jnp.minimum(se_a, Ma - 1)
             picked = jnp.take_along_axis(ke_, idx[:, None, None], axis=1)[:, 0]
             out = ae_ + jnp.where(end[:, None], 0.0, picked)
             return jnp.sum(out) * 1e-12 + 1.0
 
-        def ae_fused_step(carry, init=False):
-            ae_, ke_ = _dep(None if init else carry, ae, ke)
-            out = M.update_ae(ae_, ke_, se, en)
+        def ae_fused_step(carry, a, init=False):
+            ae_a, ke_a, se_a, en_a = a
+            ae_, ke_ = _dep(None if init else carry, ae_a, ke_a)
+            out = M.update_ae(ae_, ke_, se_a, en_a)
             return jnp.sum(out) * 1e-12 + 1.0
 
         # lstm_activation: B=8, hidden=32.
@@ -758,9 +799,12 @@ def main():
         h_l = jax.random.normal(kl[3], (Bh, Hh))
         c_l = jax.random.normal(kl[4], (Bh, Hh))
 
-        def lact_step(carry, init=False):
-            x_, h_ = _dep(None if init else carry, in_x, in_h)
-            hn, cn = M.lstm_activation(x_, h_, bias_l, h_l, c_l)
+        lact_args = (in_x, in_h, bias_l, h_l, c_l)
+
+        def lact_step(carry, a, init=False):
+            in_x_a, in_h_a, bias_a, h_a, c_a = a
+            x_, h_ = _dep(None if init else carry, in_x_a, in_h_a)
+            hn, cn = M.lstm_activation(x_, h_, bias_a, h_a, c_a)
             return jnp.sum(hn) * 1e-12 + jnp.sum(cn) * 1e-12 + 1.0
 
         # pre_sample: B=8, entities=182, hidden=32.
@@ -770,24 +814,27 @@ def main():
         vec = jax.random.normal(kp_[1], (Bp_, Hp_))
         mask = jax.random.uniform(kp_[2], (Bp_, Mp_)) > 0.1
 
-        def psample_step(carry, init=False):
-            m_, v_ = _dep(None if init else carry, mat, vec)
-            out = M.pre_sample(m_, v_, mask)
+        psample_args = (mat, vec, mask)
+
+        def psample_step(carry, a, init=False):
+            mat_a, vec_a, mask_a = a
+            m_, v_ = _dep(None if init else carry, mat_a, vec_a)
+            out = M.pre_sample(m_, v_, mask_a)
             return jnp.sum(out) * 1e-12 + 1.0
 
         pairs = [
-            ("update_ae", ae_naive_step, ae_fused_step, 20000),
-            ("lstm_activation", lact_step, lact_step, 20000),
-            ("pre_sample", psample_step, psample_step, 20000),
+            ("update_ae", ae_naive_step, ae_fused_step, 20000, ae_args),
+            ("lstm_activation", lact_step, lact_step, 20000, lact_args),
+            ("pre_sample", psample_step, psample_step, 20000, psample_args),
         ]
         ratios = []
-        for nm, naive, fused, K in pairs:
+        for nm, naive, fused, K, a_ in pairs:
             try:
-                tn, cn = _bench_loop(naive, K, n=2)
+                tn, cn = _bench_loop(naive, K, n=2, args=a_)
                 if fused is naive:
                     tf, cf = tn, 0.0  # no-kernel-case: the op IS the lowering
                 else:
-                    tf, cf = _bench_loop(fused, K, n=2)
+                    tf, cf = _bench_loop(fused, K, n=2, args=a_)
             except Exception as e:  # noqa: BLE001
                 _log(f"  [fail] actor_critic/{nm}: {type(e).__name__}: {e}")
                 continue
@@ -833,12 +880,16 @@ def main():
         rq = jax.random.normal(kq[4], (nstep, Bq))
         dq = jax.random.uniform(kq[5], (Bq,)) > 0.9
 
+        qn_args = (q, nq, aq, naq, rq, dq)
+
         def qn_step(fn):
-            def step(carry, init=False):
-                qq, nqq, rr = _dep(None if init else carry, q, nq, rq)
+            def step(carry, a, init=False):
+                q_a, nq_a, aq_a, naq_a, rq_a, dq_a = a
+                qq, nqq, rr = _dep(None if init else carry, q_a, nq_a, rq_a)
 
                 def loss(qq_, rr_):
-                    l, td = fn(origin.q_nstep_td_data(qq_, nqq, aq, naq, rr_, dq, None),
+                    l, td = fn(origin.q_nstep_td_data(qq_, nqq, aq_a, naq_a,
+                                                      rr_, dq_a, None),
                                gamma=0.95, nstep=nstep)
                     return l + jnp.sum(td) * 1e-12
                 v, g = jax.value_and_grad(loss)(qq, rr_=rr)
@@ -856,12 +907,17 @@ def main():
         di = jax.random.uniform(ki[5], (Bi,)) > 0.9
         rq_i = jax.random.uniform(ki[6], (ti, Bi))
 
+        iqn_args = (qi, nqi, ai, nai, ri, di, rq_i)
+
         def iqn_step(fn):
-            def step(carry, init=False):
-                qq, nqq, rr = _dep(None if init else carry, qi, nqi, ri)
+            def step(carry, a, init=False):
+                qi_a, nqi_a, ai_a, nai_a, ri_a, di_a, rqi_a = a
+                qq, nqq, rr = _dep(None if init else carry, qi_a, nqi_a, ri_a)
 
                 def loss(qq_, rr_):
-                    l, td = fn(origin.iqn_nstep_td_data(qq_, nqq, ai, nai, rr_, di, rq_i, None),
+                    l, td = fn(origin.iqn_nstep_td_data(qq_, nqq, ai_a, nai_a,
+                                                        rr_, di_a, rqi_a,
+                                                        None),
                                gamma=0.95, nstep=Ti, kappa=0.9)
                     return l + jnp.sum(td) * 1e-12
                 v, g = jax.value_and_grad(loss)(qq, rr_=rr)
@@ -870,15 +926,15 @@ def main():
 
         pairs = [
             ("qntd", qn_step(functools.partial(origin.q_nstep_td_error)),
-             qn_step(functools.partial(ops.q_nstep_td_error)), 20000),
+             qn_step(functools.partial(ops.q_nstep_td_error)), 20000, qn_args),
             ("iqn", iqn_step(origin.iqn_nstep_td_error),
-             iqn_step(ops.iqn_nstep_td_error), 4000),
+             iqn_step(ops.iqn_nstep_td_error), 4000, iqn_args),
         ]
         sps = []
-        for nm, naive, fused, K in pairs:
+        for nm, naive, fused, K, a_ in pairs:
             try:
-                tn, cn = _bench_loop(naive, K, n=2)
-                tf, cf = _bench_loop(fused, K, n=2)
+                tn, cn = _bench_loop(naive, K, n=2, args=a_)
+                tf, cf = _bench_loop(fused, K, n=2, args=a_)
             except Exception as e:  # noqa: BLE001
                 _log(f"  [fail] td_point_ops/{nm}: {type(e).__name__}: {e}")
                 continue
