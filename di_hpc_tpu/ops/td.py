@@ -89,6 +89,16 @@ def td_lambda_error(data: td_lambda_data, gamma: float = 0.9,
 
     value, reward, weight = data
     check_time_batch("td_lambda_error", value, reward, weight)
+
+    if weight is None and fused_kernels_ok(value, reward, method=method):
+        # Unit weight (the common case): returns + squared error fused in
+        # ONE kernel pass — only per-block scalar partials leave VMEM.  The
+        # two-stage path below writes the (T, B) returns and reads them (and
+        # value) back for the loss: 5 HBM passes vs this path's 2.
+        from di_hpc_tpu.pallas_kernels.rl_scans import td_lambda_loss_pallas
+
+        return td_lambda_loss_pallas(value, reward, gamma, lambda_)
+
     if weight is None:
         weight = jnp.ones_like(reward)
 

@@ -124,10 +124,9 @@ def _gae_fused_impl(value: jax.Array, reward: jax.Array,
 # Generalized lambda returns (scalar gamma/lambda)
 # ---------------------------------------------------------------------------
 
-def _lret_kernel(value_ref, reward_ref, out_ref, *, gamma: float,
-                 lambda_: float, T: int):
-    v = value_ref[:]           # (T+1, blk)
-    r = reward_ref[:]          # (T, blk)
+def _lret_body(v, r, gamma: float, lambda_: float, T: int):
+    """Shared lambda-returns math on in-VMEM tiles: v (T+1, blk), r (T, blk)
+    -> returns (T, blk)."""
     d = gamma * lambda_
     # a[t] = r[t] + (gamma - d) * V[t+1], except a[T-1] = r[T-1] + gamma*V[T];
     # b[t] = d, except b[T-1] = 0.
@@ -136,7 +135,12 @@ def _lret_kernel(value_ref, reward_ref, out_ref, *, gamma: float,
     g_eff = jnp.where(is_last, gamma, gamma - d).astype(v.dtype)
     a = r + g_eff * v[1:]
     b = jnp.where(is_last, 0.0, d).astype(v.dtype)
-    out_ref[:] = _suffix_scan(a, b)
+    return _suffix_scan(a, b)
+
+
+def _lret_kernel(value_ref, reward_ref, out_ref, *, gamma: float,
+                 lambda_: float, T: int):
+    out_ref[:] = _lret_body(value_ref[:], reward_ref[:], gamma, lambda_, T)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -176,6 +180,113 @@ def _lambda_returns_impl(value: jax.Array, reward: jax.Array,
         ),
         interpret=_ls.INTERPRET,
     )(value, reward)
+
+
+# ---------------------------------------------------------------------------
+# TD(lambda) loss, fully fused (returns + squared error in one pass)
+# ---------------------------------------------------------------------------
+
+def _tdl_loss_kernel(value_ref, reward_ref, acc_ref, *, gamma: float,
+                     lambda_: float, T: int, B: int):
+    v = value_ref[:]
+    ret = _lret_body(v, reward_ref[:], gamma, lambda_, T)
+    e = ret - v[:-1]
+    blk = e.shape[1]
+    if B % blk:
+        # Ragged last block: the padding lanes are uninitialized VMEM (can
+        # be NaN) and the scalar reduction sums every lane — zero them.
+        col = (pl.program_id(0) * blk
+               + jax.lax.broadcasted_iota(jnp.int32, e.shape, 1))
+        e = jnp.where(col < B, e, 0.0)
+    acc_ref[:] = jnp.sum(e * e)[None, None]
+
+
+def _tdl_err_kernel(value_ref, reward_ref, out_ref, *, gamma: float,
+                    lambda_: float, T: int):
+    v = value_ref[:]
+    ret = _lret_body(v, reward_ref[:], gamma, lambda_, T)
+    out_ref[:] = ret - v[:-1]
+
+
+def _tdl_call(kernel_fn, out_shape, out_spec, value, reward, gamma, lambda_,
+              **kernel_kw):
+    T, B = reward.shape
+    blk = _pick_blk(T, B, 3)
+    kernel = functools.partial(kernel_fn, gamma=gamma, lambda_=lambda_, T=T,
+                               **kernel_kw)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(pl.cdiv(B, blk),),
+        in_specs=[
+            pl.BlockSpec((T + 1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * T * B * max(1, (T - 1)).bit_length(),
+            bytes_accessed=2 * T * B * 4,
+            transcendentals=0,
+        ),
+        interpret=_ls.INTERPRET,
+    )(value, reward)
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
+def _tdl_loss_impl(value, reward, gamma: float, lambda_: float):
+    T, B = reward.shape
+    nb = pl.cdiv(B, _pick_blk(T, B, 3))
+    partials = _tdl_call(
+        _tdl_loss_kernel,
+        jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        value, reward, gamma, lambda_, B=B)
+    return 0.5 * jnp.sum(partials) / (T * B)
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
+def _tdl_err_impl(value, reward, gamma: float, lambda_: float):
+    T, B = reward.shape
+    return _tdl_call(
+        _tdl_err_kernel,
+        jax.ShapeDtypeStruct((T, B), reward.dtype),
+        pl.BlockSpec((T, _pick_blk(T, B, 3)), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        value, reward, gamma, lambda_)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def td_lambda_loss_pallas(value: jax.Array, reward: jax.Array,
+                          gamma: float, lambda_: float) -> jax.Array:
+    """Fully-fused TD(lambda) loss (unit weight):
+    0.5 * mean((stop_grad(lambda_returns) - value[:-1])**2).
+
+    One HBM pass over value (T+1, B) + reward (T, B) with only per-block
+    scalar partials written back — vs the two-stage path's 5 passes (write
+    returns, read them back, re-read value for the loss).  The backward
+    recomputes the TD error with a second single-pass kernel, so training
+    traffic matches the two-stage path while the forward (the reference's
+    benchmarked surface, td_lambda_kernel.h:11-40) runs at the 2-pass floor.
+    Gradient contract matches origin (origin/td.py:169-175): returns are
+    detached, d loss/d value[:-1] = -(ret - v)/N, value[T] and reward get
+    zeros."""
+    return _tdl_loss_impl(value, reward, gamma, lambda_)
+
+
+def _tdl_loss_fwd(value, reward, gamma, lambda_):
+    return _tdl_loss_impl(value, reward, gamma, lambda_), (value, reward)
+
+
+def _tdl_loss_bwd(gamma, lambda_, res, ct):
+    value, reward = res
+    T, B = reward.shape
+    e = _tdl_err_impl(value, reward, gamma, lambda_)
+    dv_head = (-ct / (T * B)) * e
+    dv = jnp.concatenate([dv_head, jnp.zeros((1, B), value.dtype)], axis=0)
+    return dv, jnp.zeros_like(reward)
+
+
+td_lambda_loss_pallas.defvjp(_tdl_loss_fwd, _tdl_loss_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,27 @@ def test_lambda_returns_kernel(interpret, key):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("T,B", [(40, 144), (37, 9)])
+def test_td_lambda_loss_kernel(interpret, key, T, B):
+    """Fully-fused td_lambda loss (returns + squared error in one kernel):
+    value/grad parity with origin, zero reward grad, ragged last B-block
+    masked (uninitialized padding lanes must not reach the reduction)."""
+    from di_hpc_tpu.pallas_kernels.rl_scans import td_lambda_loss_pallas
+    k1, k2 = jax.random.split(key)
+    value = jax.random.normal(k1, (T + 1, B))
+    reward = jax.random.normal(k2, (T, B))
+    want = origin.td_lambda_error(origin.td_lambda_data(value, reward, None),
+                                  0.9, 0.8)
+    got = td_lambda_loss_pallas(value, reward, 0.9, 0.8)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    g_f = jax.grad(td_lambda_loss_pallas)(value, reward, 0.9, 0.8)
+    g_o = jax.grad(lambda v: origin.td_lambda_error(
+        origin.td_lambda_data(v, reward, None), 0.9, 0.8))(value)
+    np.testing.assert_allclose(g_f, g_o, rtol=1e-5, atol=1e-6)
+    g_r = jax.grad(td_lambda_loss_pallas, argnums=1)(value, reward, 0.9, 0.8)
+    assert float(jnp.abs(g_r).max()) == 0.0
+
+
 def test_vtrace_returns_adv_kernel(interpret, key):
     from di_hpc_tpu.pallas_kernels.rl_scans import vtrace_returns_adv_pallas
     T, B = 36, 136
