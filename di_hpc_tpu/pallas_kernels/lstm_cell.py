@@ -75,7 +75,15 @@ def _xgate(gxp32, glnx_ref, blnx_ref, bias_ref, norm):
     neither materializes a normalized gx stream nor pays LN_x's backward
     passes over (S, B, 4H) — measured 267.6 us/layer for the x-side
     GEMM+LN+bias fwd+grad at S=32, B=256, H=512 before the fold
-    (bench_results/profile_lstm_bwd_r2.py)."""
+    (bench_results/profile_lstm_bwd_r2.py).
+
+    The forward kernel calls this ONCE per grid invocation on the whole
+    (U*blk, 4H) unrolled block rather than per step: LN_x does not depend
+    on the recurrence, and at small blk the VPU cost is per-op overhead,
+    not bytes (round-3 decomposition, bench_results/r3_lstm_decomp.json:
+    LN_x 6.6 us of a 39.2 us layer at S=64, B=3, H=384).  Row-wise LN is
+    identical either way, so the backward kernels' per-step recompute
+    still matches bit-for-bit."""
     if norm:
         return (_ln(gxp32, glnx_ref[:].astype(jnp.float32),
                     blnx_ref[:].astype(jnp.float32))
@@ -124,8 +132,13 @@ def _layer_kernel(gxp_ref, wh_ref, glnx_ref, blnx_ref, gln_ref, bln_ref,
     # casting h to the weight dtype at the GEMM input is exactly the
     # rounding the stored y stream sees, so the backward's recompute from y
     # matches the forward.  U consecutive time steps run per grid
-    # invocation (halves per-grid-step overhead; measured 193.6 vs 207.0 us
-    # at S=32, B=256, H=512 — profile_lstm_r2.py).
+    # invocation (amortizes per-grid-step overhead; r3 decomposition: U=4
+    # 30.7 vs U=2 39.2 us/layer at S=64, B=3, H=384 and 207.2 vs 219.6 at
+    # S=32, B=256, H=512 — r3_lstm_decomp.json).  LN_x stays PER STEP: a
+    # batched (U*blk, 4H) LN_x was built and measured SLOWER (38.1/268.7 us
+    # vs 30.7/207.2 at the two configs) — the (U, blk, 4H) -> (U*blk, 4H)
+    # reshape + re-slicing materializes a relayout that costs more than the
+    # saved per-op overhead.
     h = h_scr[:]                                   # (blkB, H) f32
     c = c_scr[:]
     for u_i in range(U):
@@ -175,11 +188,18 @@ def _layer_impl(gxp, wh, glnx, blnx, gln, bln, bias, h0, c0, norm: bool,
     # fwd at S=32, B=256, L=2; bench_results/profile_fwd_blk.py) — the old
     # "+9%" reading did not reproduce, so the shared picker stands.
     itemsize = gxp.dtype.itemsize
-    # Two time steps per grid invocation when S allows it; the doubled
-    # stream blocks (gxp in, y/c_seq out) are charged to the VMEM picker as
-    # extra buffer equivalents (+2 more for the in-kernel LN_x temporaries).
-    U = 2 if S % 2 == 0 else 1
-    n_bufs = (12 if itemsize == 4 else 18) + (4 if U == 2 else 0)
+    # Four time steps per grid invocation when S allows it (then 2, then 1).
+    # The round-3 blk sweep (bench_results/r3_lstm_decomp.json) found the
+    # per-step cost is governed by the B-BLOCK, not U: at S=32, B=256,
+    # H=512 f32 the kernel runs 195.1 us at blk=64 vs 265.2 at blk=32
+    # (stash: 210.7 vs 283.2) — both compiled on real hardware — while U=2
+    # vs U=4 is noise at fixed blk.  The old picker charge (12..18 + 4 for
+    # U=2) priced this config at blk=32; the charge below keeps blk=64
+    # reachable at U<=4 while still refusing the measured scoped-VMEM OOM
+    # point (U=8, blk=32, H=512: 16.5MB > the 16MB Mosaic limit).  U is
+    # kept at 4 for the per-grid-step overhead amortization at small B.
+    U = 4 if S % 4 == 0 else (2 if S % 2 == 0 else 1)
+    n_bufs = (8 + 2 * U) if itemsize == 4 else (16 + 3 * U)
     blk = _pick_blk_b(B, H, n_bufs=n_bufs, itemsize=itemsize)
     kernel = functools.partial(_layer_kernel, S=S, H=H, U=U, norm=norm,
                                stash=stash)
@@ -525,7 +545,10 @@ def _v2_vmem_bytes(blk: int, H: int, itemsize: int = 4) -> int:
     return (H * 4 * H + 12 * blk * 4 * H) * itemsize + 8 * blk * 4 * H * 4
 
 
-_V2_VMEM_BUDGET = 14 * 1024 * 1024
+# 15MB: the blk=64 point at H=512 f32 models to 14.7MB and was compiled and
+# measured on real hardware (454.5 us vs 616.5 at blk=32, S=32 B=256 —
+# round-3 blk sweep); the old 14MB budget priced it out.
+_V2_VMEM_BUDGET = 15 * 1024 * 1024
 
 
 def _bwd_fits_v2(B: int, H: int, itemsize: int = 4) -> bool:
