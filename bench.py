@@ -238,17 +238,36 @@ def _bench_loop(make_body, K, n=3, args=()):
     (~2 bytes of module text per array byte), which is exactly the
     reproducible ~20-min broken-pipe compile that kept it out of every
     round-2 record; as arguments the same program lowers to a few KB.
+
+    The args must be threaded THROUGH the loop carry and re-barriered with
+    the running scalar every iteration.  A plain invariant jit argument
+    tied by a per-iteration barrier is NOT enough on this stack: XLA hoists
+    the whole body out of the while loop and K=2000 measures the same as
+    K=10 (verified on CPU and TPU, 2026-08-21) — whereas the identical
+    program with the arrays as embedded constants is not hoisted.  With
+    the arrays re-emitted by a barrier that also consumes the iteration-t
+    scalar, iteration t+1's inputs are fresh values data-dependent on
+    iteration t, and the barrier is an identity so no bytes move.
     """
 
     if _SMOKE:
         K, n = 2, 1
 
+    leaves, treedef = jax.tree.flatten(args)
+    del leaves
+
     @jax.jit
     def run(a):
+        la = tuple(jax.tree.leaves(a))
+
         def body(i, carry):
-            return make_body(carry, a)
-        out = jax.lax.fori_loop(0, K, body, make_body(None, a, init=True))
-        return jnp.sum(jax.tree.leaves(out)[0])
+            bar = jax.lax.optimization_barrier(carry)
+            s = make_body(bar[0], jax.tree.unflatten(treedef, list(bar[1:])))
+            return (s,) + bar[1:]
+
+        out = jax.lax.fori_loop(0, K, body,
+                                (make_body(None, a, init=True),) + la)
+        return jnp.sum(jax.tree.leaves(out[0])[0])
 
     t0 = time.time()
     s = float(run(args))  # compile + warm up
