@@ -188,6 +188,20 @@ def _lambda_returns_impl(value: jax.Array, reward: jax.Array,
 
 def _tdl_loss_kernel(value_ref, reward_ref, acc_ref, *, gamma: float,
                      lambda_: float, T: int, B: int):
+    """Accumulates sum(e*e) into a revisited (1, 128) output block (every
+    lane carries the same running total; the caller reads [0, 0]).  A
+    (1, 1)-blocked per-grid-step output is REJECTED by Mosaic on real
+    hardware (block dims must be 8/128-divisible or whole-array) — a
+    constraint interpret mode does not check; the TPU grid executes
+    sequentially, so cross-step accumulation into a constant-index block
+    is sound (same pattern as the LSTM backward's param-grad
+    accumulators, lstm_cell._bwd_kernel_v2)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
     v = value_ref[:]
     ret = _lret_body(v, reward_ref[:], gamma, lambda_, T)
     e = ret - v[:-1]
@@ -195,10 +209,10 @@ def _tdl_loss_kernel(value_ref, reward_ref, acc_ref, *, gamma: float,
     if B % blk:
         # Ragged last block: the padding lanes are uninitialized VMEM (can
         # be NaN) and the scalar reduction sums every lane — zero them.
-        col = (pl.program_id(0) * blk
+        col = (i * blk
                + jax.lax.broadcasted_iota(jnp.int32, e.shape, 1))
         e = jnp.where(col < B, e, 0.0)
-    acc_ref[:] = jnp.sum(e * e)[None, None]
+    acc_ref[:] = acc_ref[:] + jnp.sum(e * e)
 
 
 def _tdl_err_kernel(value_ref, reward_ref, out_ref, *, gamma: float,
@@ -235,13 +249,12 @@ def _tdl_call(kernel_fn, out_shape, out_spec, value, reward, gamma, lambda_,
 @functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
 def _tdl_loss_impl(value, reward, gamma: float, lambda_: float):
     T, B = reward.shape
-    nb = pl.cdiv(B, _pick_blk(T, B, 3))
-    partials = _tdl_call(
+    acc = _tdl_call(
         _tdl_loss_kernel,
-        jax.ShapeDtypeStruct((nb, 1), jnp.float32),
-        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         value, reward, gamma, lambda_, B=B)
-    return 0.5 * jnp.sum(partials) / (T * B)
+    return 0.5 * acc[0, 0] / (T * B)
 
 
 @functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
