@@ -341,7 +341,14 @@ vtrace_returns_adv_pallas.defvjp(
 def _vtrace_returns_adv_impl(rhos, cs, pg_rhos, reward, value,
                              gamma: float, lambda_: float):
     T, B = reward.shape
-    blk = _pick_blk(T, B, 7)
+    # n_bufs=12, not the 7 ios: unlike gae/lambda-returns (row-constant
+    # (T, 1) coefficients), vtrace's suffix scan carries a FULL (T, blk)
+    # coefficient plane, so the doubling loop keeps ~2 extra (T, blk)
+    # shift temporaries live per operand.  At T=1024, B=4096 the 7-ios
+    # charge picked blk=256 and Mosaic measured 18MB scoped VMEM against
+    # the 16MB limit (r3 prewarm); 12 ios picks blk=128 (~9MB real) and
+    # leaves the T=128 stages' blk=512 choice untouched.
+    blk = _pick_blk(T, B, 12)
     kernel = functools.partial(_vtrace_kernel, gamma=gamma, lambda_=lambda_, T=T)
     tb = lambda i: (0, i)
     spec = pl.BlockSpec((T, blk), tb, memory_space=pltpu.VMEM)
