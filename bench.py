@@ -15,17 +15,18 @@ vtrace T=1024 B=4096 — at the end of that group), then the evidence-only
 stages (padding, actor-critic, td point ops).  A partial run under a
 degraded tunnel therefore loses evidence rows, not the headline.
 
-Prints ONE JSON line to stdout with the compact driver-parsed fields FIRST
-(metric/value/unit/vs_baseline/partial/stages_completed/missing_stages) and
-the per-stage details blob LAST, all floats rounded, so the driver's parse
-never depends on the tail of the line:
+Prints ONE SHORT JSON line to stdout (compact fields + per-stage
+{s: speedup, sol: pct_sol} only, <=1900 chars by construction — the driver
+captures just the LAST 2000 chars of stdout, which tail-truncated the >2KB
+single-line blobs of r01-r03 into unparseable fragments):
   {"metric": "fused_vs_naive_geomean_speedup", "value": <geomean speedup>,
-   "unit": "x", "vs_baseline": <value / 5.0>, ..., "details": {...}}
+   "unit": "x", "vs_baseline": <value / 5.0>, ..., "stages": {...}}
 vs_baseline is relative to the BASELINE.json north-star target of >=5x over
-naive lowering (gae/vtrace/ppo class ops at T=1024, B=4096).  Each details
-entry carries naive_us / fused_us / speedup plus compile_s / measure_s (so a
-degraded remote-compile pool is diagnosable from the JSON alone) and, where
-the op is HBM-bound, the analytic min-traffic floor_us + pct_sol roofline.
+naive lowering (gae/vtrace/ppo class ops at T=1024, B=4096).  The FULL
+per-stage details payload (naive_us / fused_us / speedup plus compile_s /
+measure_s, and, where the op is HBM-bound, the analytic min-traffic
+floor_us + pct_sol roofline) goes to stderr ("FULL RESULT: ...") and to
+bench_results/last_run.json.
 
 Geomean composition: ONE row per op.  `ppo_fast_grad` (the
 logp_old-precomputed path every multi-epoch PPO loop actually runs,
@@ -135,36 +136,88 @@ _TOTAL_STAGES = len(_ALL_STAGES)
 _emitted = threading.Lock()
 
 
-def _emit_result_and_exit(exit_code=0):
-    """Print the single JSON result line exactly once (also used by the
-    watchdog when a remote compile hangs past the budget).  Compact fields
-    first; details last; floats rounded to 2-3 digits (BENCH_r02's driver
-    parse failed on tail truncation of a 2KB+ line)."""
-    if not _emitted.acquire(blocking=False):
-        return
-    speedups = [d["speedup"] for d in _details.values()
+def build_result_line(details, all_stages=None, mandatory=None,
+                      only_stages=None, max_len=1900):
+    """Build the single stdout JSON line.
+
+    The driver captures only the LAST 2000 characters of stdout
+    (BENCH_r01..r03 all failed to parse because a >2KB single line lost its
+    LEADING compact fields to that tail window — putting them first, as r3
+    did, made it worse, not better).  So the stdout line must be SHORT:
+    compact fields plus per-stage {s: speedup, sol: pct_sol} only — the full
+    details blob goes to stderr and bench_results/last_run.json instead.
+
+    Guarantee by construction: if the line still exceeds ``max_len`` the
+    per-stage map is progressively thinned (drop sol, then drop the map)
+    until json.loads(line[-2000:]) must succeed.  Returns (line, full) where
+    ``full`` is the complete details payload for the sidecar file.
+    """
+    all_stages = _ALL_STAGES if all_stages is None else all_stages
+    mandatory = _MANDATORY if mandatory is None else mandatory
+    speedups = [d["speedup"] for d in details.values()
                 if d.get("in_geomean", 1)] or [0.0]
     geomean = math.exp(sum(math.log(max(s, 1e-9)) for s in speedups) / len(speedups))
-    missing = [k for k in _ALL_STAGES if k not in _details]
+    missing = [k for k in all_stages if k not in details]
     result = {
         "metric": "fused_vs_naive_geomean_speedup",
         "value": round(geomean, 3),
         "unit": "x",
         "vs_baseline": round(geomean / 5.0, 3),
-        "stages_completed": len(_details),
-        "stages_total": _TOTAL_STAGES,
+        "stages_completed": len(details),
+        "stages_total": len(all_stages),
     }
-    if missing and _ONLY_STAGES is None:
+    if missing and only_stages is None:
         result["partial"] = True
         result["missing_stages"] = missing
-        if any(k in _MANDATORY for k in missing):
-            result["missing_mandatory"] = [k for k in missing
-                                           if k in _MANDATORY]
-    result["details"] = {
+        if any(k in mandatory for k in missing):
+            result["missing_mandatory"] = [k for k in missing if k in mandatory]
+    full = dict(result)
+    full["details"] = {
         k: {kk: (round(vv, 2) if isinstance(vv, float) else vv)
             for kk, vv in v.items()}
-        for k, v in _details.items()}
-    print(json.dumps(result), flush=True)
+        for k, v in details.items()}
+
+    def stage_map(with_sol):
+        out = {}
+        for k, v in details.items():
+            row = {"s": round(v.get("speedup", 0.0), 2)}
+            if with_sol and isinstance(v.get("pct_sol"), (int, float)):
+                row["sol"] = round(v["pct_sol"], 1)
+            out[k] = row
+        return out
+
+    for variant in (stage_map(True), stage_map(False), None):
+        r = dict(result)
+        if variant is not None:
+            r["stages"] = variant
+        line = json.dumps(r, separators=(",", ":"))
+        if len(line) <= max_len:
+            break
+    return line, full
+
+
+def _emit_result_and_exit(exit_code=0):
+    """Emit the result exactly once (also used by the watchdog when a remote
+    compile hangs past the budget): one SHORT JSON line on stdout (the
+    driver's parse window is the last 2000 chars of stdout — see
+    build_result_line), full details to stderr + bench_results/last_run.json."""
+    if not _emitted.acquire(blocking=False):
+        return
+    line, full = build_result_line(_details, only_stages=_ONLY_STAGES)
+    full_s = json.dumps(full)
+    _log("FULL RESULT: " + full_s)
+    try:
+        outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_results")
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, "last_run.json"), "w") as f:
+            f.write(full_s + "\n")
+    except OSError as e:  # never let the sidecar write block the stdout line
+        _log(f"  [warn] could not write bench_results/last_run.json: {e}")
+    # Self-test the driver's actual parse before printing: the line must
+    # round-trip from its own 2000-char tail.
+    assert json.loads(line[-2000:])["metric"] == "fused_vs_naive_geomean_speedup"
+    print(line, flush=True)
     if exit_code is not None:
         os._exit(exit_code)
 

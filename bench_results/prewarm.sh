@@ -33,7 +33,7 @@ for stage in "${STAGES[@]}"; do
     DIHPC_BENCH_STAGES="$stage" DIHPC_BENCH_BUDGET_S=2400 \
       timeout -k 60 2700 python bench.py >"$log.json" 2>"$log"
     rc=$?
-    if [ $rc -eq 0 ] && grep -q '"stages_completed": 1' "$log.json"; then
+    if [ $rc -eq 0 ] && grep -Eq '"stages_completed": ?1[,}]' "$log.json"; then
       echo "  OK: $(cat "$log.json" | head -c 300)"
       break
     fi
