@@ -126,6 +126,7 @@ _ALL_STAGES = [
     "vtrace_grad_T128_B512_N128",
     "train_step_T32_B256_h512",
     "vtrace_T1024_B4096_N32",
+    "train_step_bf16_T32_B256_h512",
     "padding_ops",
     "actor_critic_ops",
     "td_point_ops",
@@ -335,7 +336,7 @@ def _bench_loop(make_body, K, n=3, args=()):
 
 
 def bench_op(name, naive_step, fused_step, K=1000, n=3, bytes_mb=None,
-             flops_g=None, args=()):
+             flops_g=None, chain_floor_us=None, args=()):
     res, compile_s, t0 = {}, 0.0, time.time()
     for kind, step in (("naive", naive_step), ("fused", fused_step)):
         res[kind], c = _bench_loop(step, K, n, args=args)
@@ -347,19 +348,25 @@ def bench_op(name, naive_step, fused_step, K=1000, n=3, bytes_mb=None,
     out = {"naive_us": res["naive"] * 1e6, "fused_us": res["fused"] * 1e6,
            "speedup": speedup, "compile_s": compile_s,
            "measure_s": time.time() - t0 - compile_s}
-    if bytes_mb is not None or flops_g is not None:
-        # Analytic floor = max(min-HBM-traffic time, min-MXU time): the
-        # binding resource sets the speed-of-light.  pct_sol > 100 means the
-        # working set is cache-resident (the HBM term doesn't bind; see
-        # docs/DESIGN.md §6 ppo_grad).
+    if bytes_mb is not None or flops_g is not None or chain_floor_us is not None:
+        # Analytic floor = max(min-HBM-traffic time, min-MXU time, measured
+        # serial-chain time): the binding resource sets the speed-of-light.
+        # pct_sol > 100 means the working set is cache-resident (the HBM
+        # term doesn't bind; see docs/DESIGN.md §6 ppo_grad).
+        # chain_floor_us covers ops whose floor is a measured serial MXU
+        # dependency chain, not a bandwidth/throughput bound (the B=3 LSTM:
+        # DESIGN.md §6 / bench_results/r3_lstm_decomp.json dot-only
+        # variant) — without it the JSON reports a non-binding HBM number.
         hbm_us = (bytes_mb or 0.0) * 1e6 / (_HBM_GBS * 1e3)
         mxu_us = (flops_g or 0.0) * 1e3 / _MXU_TFLOPS
-        floor_us = max(hbm_us, mxu_us)
+        floor_us = max(hbm_us, mxu_us, chain_floor_us or 0.0)
         if bytes_mb is not None:
             out["bytes_mb"] = bytes_mb
         if flops_g is not None:
             out["flops_g"] = flops_g
             out["mxu_floor_us"] = mxu_us
+        if chain_floor_us is not None:
+            out["chain_floor_us"] = chain_floor_us
         out["floor_us"] = floor_us
         out["pct_sol"] = 100.0 * floor_us / out["fused_us"]
         _log(f"  roofline: {bytes_mb or 0:.1f} MB / {flops_g or 0:.2f} GF -> "
@@ -560,7 +567,13 @@ def main():
         "lstm_s64_b3_i1792_h384_l3", "lstm ref config",
         lstm_step(origin.lstm),
         lstm_step(network.lstm_fused),
-        est_s=50, K=1000, bytes_mb=lstm_mb, args=(params, x),
+        est_s=50, K=1000, bytes_mb=lstm_mb,
+        # At B=3 the HBM number above does NOT bind: the stage is a 192-step
+        # serial MXU dependency chain.  The binding floor was measured with
+        # a dot-only kernel variant at 16.9us/layer x 3 layers = 50.7us
+        # (bench_results/r3_lstm_decomp.json, DESIGN.md §6).
+        chain_floor_us=50.7,
+        args=(params, x),
     )
 
     # ----- scatter connection: reference config B=M=N=256, 16x16 -----
@@ -667,7 +680,7 @@ def main():
     # ----- framework level: full actor-critic V-trace train step -----
     import optax
     from di_hpc_tpu.models import (
-        ActorCriticConfig, TrainBatch, init_actor_critic,
+        ActorCriticConfig, TrainBatch, init_actor_critic, make_train_step,
     )
     from di_hpc_tpu.network import lstm_fused
     from di_hpc_tpu.origin.rnn import lstm as lstm_naive
@@ -757,10 +770,37 @@ def main():
     )
 
     # =====================================================================
-    # Evidence stages (in_geomean=0), compile-light, run after the headline
-    # group: every reference-benchmarked surface gets a BENCH row
-    # (reference tests/test_padding.py:76-87, tests/test_actor_critic.py).
+    # Evidence stages (in_geomean=0), run after the headline group: every
+    # reference-benchmarked surface gets a BENCH row (reference
+    # tests/test_padding.py:76-87, tests/test_actor_critic.py), plus the
+    # mixed-precision train step.
     # =====================================================================
+
+    # ----- mixed-precision evidence: the SAME fused train step (models.
+    # make_train_step, what examples/impala_training.py runs) f32 vs
+    # compute_dtype=bf16 (bf16 model forward through the LSTM kernel's
+    # native bf16 path, f32 master params/loss/adam).  "naive" = f32 step,
+    # "fused" = bf16 step; the ratio is the mixed-precision win README's
+    # perf section claims — this row makes it driver-visible. -----
+    def mp_step_factory(dtype):
+        step_fn = make_train_step(cfg, optimizer, compute_dtype=dtype)
+
+        def step(carry, a, init=False):
+            params_a, tb_a, opt_a = a
+            obs_, rew_, blog_ = _dep(None if init else carry, tb_a.obs,
+                                     tb_a.rewards, tb_a.behaviour_logits)
+            batch = TrainBatch(obs_, tb_a.actions, rew_, blog_)
+            p2, _o2, metrics = step_fn(params_a, opt_a, batch)
+            return (metrics["total_loss"] * 1e-12
+                    + jnp.sum(p2.embed_b) * 1e-12 + 1.0)
+        return step
+
+    run_stage(
+        "train_step_bf16_T32_B256_h512", "train step f32 vs bf16 mixed",
+        mp_step_factory(None), mp_step_factory(jnp.bfloat16),
+        est_s=100, K=50, n=3, in_geomean=0,
+        args=(params0, tb, opt0),
+    )
 
     def _padding_ops():
         """Host-side op: wall-clock the full Padding/UnPadding round trip
@@ -800,7 +840,12 @@ def main():
                     best = float("inf")
                     for _ in range(reps + 1):  # first rep warms caches
                         t = time.time()
-                        fn(list(xs), **kw)
+                        # block: jnp.asarray H2D is async — without the
+                        # block each timed call absorbs the PREVIOUS call's
+                        # in-flight transfers, which systematically taxed
+                        # whichever side ran second (r3 recorded the fused
+                        # 1d/3d rows "losing" to their own oracle that way).
+                        jax.block_until_ready(fn(list(xs), **kw))
                         best = min(best, time.time() - t)
                     times[kind] = best
                 entry[f"pad{nd}{mode_name}_naive_us"] = times["naive"] * 1e6

@@ -6,10 +6,18 @@ import jax
 import jax.numpy as jnp
 
 
-def fused_kernels_ok(*arrays, method: str = "auto") -> bool:
+def fused_kernels_ok(*arrays, method: str = "auto", n_bufs: int = 3) -> bool:
     """True when the fully-fused Pallas path applies: method is auto/pallas,
     running on TPU (or Pallas interpret mode for tests), all arrays f32 with
-    a 2-D (T, B) layout."""
+    a 2-D (T, B) layout.
+
+    ``n_bufs`` is the CALLING op's VMEM io-buffer charge and must match what
+    the op passes to rl_scans._pick_blk (gae/td_lambda: 3; vtrace: 12 — its
+    suffix scan carries a full (T, blk) coefficient plane).  The gate mirrors
+    the picker's budget at its blk=128 floor: if even the narrowest block
+    over-charges Mosaic's scoped-VMEM limit the kernel would fail to compile
+    on real hardware (interpret mode does not check this), so the op must
+    fall back to the associative scan, which scales arbitrarily."""
     if method not in ("auto", "pallas"):
         return False
     from di_hpc_tpu.pallas_kernels import linear_scan as _ls
@@ -24,10 +32,8 @@ def fused_kernels_ok(*arrays, method: str = "auto") -> bool:
         a = jnp.asarray(a)
         if a.ndim != 2 or a.dtype != jnp.float32:
             return False
-        # VMEM feasibility: rl_scans._pick_blk cannot shrink below 128 lanes,
-        # and the widest kernel (vtrace) keeps ~11 live (T, 128) f32 buffers
-        # under Mosaic's 16MB scoped limit.  Longer T falls back to the
-        # associative scan, which scales arbitrarily.
-        if 11 * (a.shape[0] + 1) * 128 * 4 > 13 * 1024 * 1024:
+        # Same formula as rl_scans._pick_blk (io charge + ~4 live doubling-
+        # scan temporaries) evaluated at the blk=128 floor.
+        if (n_bufs + 4) * (a.shape[0] + 1) * 128 * 4 > 13 * 1024 * 1024:
             return False
     return True

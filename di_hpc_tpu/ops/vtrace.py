@@ -54,7 +54,7 @@ def vtrace_error(
     pg_rhos = jnp.minimum(IS, rho_pg_clip_ratio)
 
     v = jax.lax.stop_gradient(value)
-    if fused_kernels_ok(v, reward, rhos, method=method):
+    if fused_kernels_ok(v, reward, rhos, method=method, n_bufs=12):
         from di_hpc_tpu.pallas_kernels.rl_scans import vtrace_returns_adv_pallas
 
         return_, adv = vtrace_returns_adv_pallas(

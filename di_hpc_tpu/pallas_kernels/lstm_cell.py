@@ -77,13 +77,13 @@ def _xgate(gxp32, glnx_ref, blnx_ref, bias_ref, norm):
     GEMM+LN+bias fwd+grad at S=32, B=256, H=512 before the fold
     (bench_results/profile_lstm_bwd_r2.py).
 
-    The forward kernel calls this ONCE per grid invocation on the whole
-    (U*blk, 4H) unrolled block rather than per step: LN_x does not depend
-    on the recurrence, and at small blk the VPU cost is per-op overhead,
-    not bytes (round-3 decomposition, bench_results/r3_lstm_decomp.json:
-    LN_x 6.6 us of a 39.2 us layer at S=64, B=3, H=384).  Row-wise LN is
-    identical either way, so the backward kernels' per-step recompute
-    still matches bit-for-bit."""
+    The forward kernel applies this PER UNROLLED STEP inside _layer_kernel's
+    time loop; a batched variant over the whole (U*blk, 4H) block was
+    measured SLOWER (Mosaic inserts a relayout for the (U*blk, 4H) view)
+    and retired — see the round-3 decomposition,
+    bench_results/r3_lstm_decomp.json: LN_x 6.6 us of a 39.2 us layer at
+    S=64, B=3, H=384.  Row-wise LN is identical either way, so the backward
+    kernels' per-step recompute still matches bit-for-bit."""
     if norm:
         return (_ln(gxp32, glnx_ref[:].astype(jnp.float32),
                     blnx_ref[:].astype(jnp.float32))

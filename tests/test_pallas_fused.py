@@ -174,8 +174,8 @@ def test_lstm_layer_kernel_routing(interpret, f32_matmuls, key):
     # reproduced as a NaN row at B=17)
     (17, 17), (24, 24),
 ])
-def test_lstm_layer_fwd_ragged_and_split_halves(interpret, f32_matmuls, key,
-                                                monkeypatch, B, force_blk):
+def test_lstm_layer_fwd_ragged_blocks(interpret, f32_matmuls, key,
+                                      monkeypatch, B, force_blk):
     """Forward kernel with a forced B-block: exercises ragged last-block
     handling (B % blk != 0, where Pallas bounds-clips the stream outputs)
     across odd/unaligned block sizes, under the U=2 time-unrolled kernel."""
