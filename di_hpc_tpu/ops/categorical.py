@@ -3,39 +3,44 @@
 This is the TPU analogue of the reference's fused categorical kernels
 (ppo_kernel.h:12-150, vtrace_kernel.h:11-151): those fuse log-softmax, the
 action gather, entropy, and THREE backward gradient-stash arrays into one
-block-reduce CUDA kernel.  Here the op is plain jnp that XLA fuses into one
-pass over the logits, with two deliberate choices measured on v5e
-(bench_results/profile_cat_round{1,2,3}.py):
+block-reduce CUDA kernel.  Here the forward is ONE variadic `lax.reduce`
+over the logits computing every per-row statistic — max, sum e, sum e*x,
+gathered x_a — together via the online-softmax monoid
+    (m, s) ⊕ (m', s') = (M, s*exp(m-M) + s'*exp(m'-M)),  M = max(m, m'),
+so XLA's fusion reads the logits exactly ONCE per head.  Design history,
+all measured on v5e (bench_results/profile_cat_round{1,2,3}.py,
+profile_head_kernel.py, profile_vtrace_ns.py):
 
- - **iota-compare gather**: `take_along_axis` lowers to a dynamic gather that
-   costs ~3.5x the whole head (741us vs 205us at R=65k, N=128); summing
-   `where(iota == action, x, 0)` keeps the op a fused reduction.
+ - **one reduce, not four**: XLA lowers each separate reduction over the
+   same operand as its own pass.  At cache-resident sizes those re-reads
+   cost ~37us each (tolerable); at the north-star vtrace shape (T=1024,
+   B=4096, N=32; 537MB logits) they are real HBM traffic and the
+   multi-reduction head measured 5,501us vs a 1,311us floor.  The variadic
+   reduce measured 1,522us (86% SoL) there and 141us vs 182us at the small
+   (T=128, B=512, N=128) shape — it wins at every measured size, so it is
+   the only path.
+ - **iota-compare gather**: `take_along_axis` lowers to a dynamic gather
+   that serializes on TPU (~3.5x the whole head); `where(iota == action,
+   x, 0)` is one of the reduce's fused operands.
  - **stash-free custom VJP**: autodiff would save the (R, N) softmax as a
-   residual (an extra HBM round-trip); the custom backward recomputes it from
-   the stashed per-row log-sum-exp — the TPU answer to the reference's three
-   (R, N) grad-stash arrays (HBM traffic is the scarce resource, not FLOPs).
- - **division-free entropy**: H = lse - sum(e*x)/sum(e) (one divide per row
-   instead of a softmax normalize per element).
+   residual (an extra HBM round-trip); the custom backward recomputes it
+   from the stashed per-row log-sum-exp — the TPU answer to the reference's
+   three (R, N) grad-stash arrays.
+ - **accuracy**: on CPU the reduce is sequential and matches the
+   max-then-sum formulation to ~1e-6.  On TPU the tree-merge exp in the
+   combiner costs ~1.6e-4 abs on logp/entropy vs the multi-pass form
+   (profile_head_kernel.py); the consuming losses are means over T*B, where
+   this is far below the tunnel-noise floor.  A bit-exact two-pass variant
+   (exact max, then an add-only variadic reduce) measured 2,993us at the
+   north-star shape and was rejected as the default.
 
-A hand-written Pallas kernel for this head was built and measured: it TIES
-XLA's fusion forward (208 vs 205us — both are bound by the 4 VPU cross-lane
-reductions at ~37us each, not by exp or HBM) and LOSES backward (Mosaic
-broadcasts (blk,1) row-vectors across lanes ~3x slower than XLA's fusion,
-303 vs 108us), so the kernel was retired (git history: profile_cat_* runs).
-
-A SECOND Pallas attempt (packed single-output, VPU reductions, log outside
-the kernel) was built and retired too.  What it established (v5e, R=65k,
-N=128): (a) in-VMEM cross-lane reductions cost only ~12us/pass at
-2048-row blocks — the ~37us/pass above is the per-pass HBM re-read, not
-VPU throughput; (b) (R, 1)-shaped kernel inputs/outputs are tile-padded by
-Mosaic and cost ~40-50us EACH in stream traffic; (c) MXU ones-dot
-reductions (~11us) buy nothing over the VPU and need a 3-term bf16 split
-for f32 accuracy; (d) Mosaic's in-kernel `log` is only ~1e-4 accurate.
-Decisive: the isolated-jnp 210us is NOT what callers pay — inside
-vtrace/ppo XLA fuses the head's passes with surrounding consumers to an
-effective ~90us/head, which the opaque kernel cannot cross-fuse against
-(kernel-headed vtrace fwd measured 345us vs 197us jnp).  Single-op Pallas
-only pays when the op is a whole fusion island (the LSTM layer, the scans).
+TWO Pallas head kernels were built and retired before this (git history:
+profile_cat_*, profile_head_kernel.py; bench_results/negative_results.json
+`pallas_head_n_minor_blocks`): the decisive facts are that Mosaic pays the
+minor-dim lane padding on HBM->VMEM block DMA (reading (bG, 128, 32) f32
+blocks runs at 22-23% SoL = exactly 128/32 while XLA reads the same dense
+array at 89%), and that an opaque kernel cannot join XLA's cross-fusion
+with the op's consumers.
 """
 
 from __future__ import annotations
@@ -46,17 +51,53 @@ import jax.numpy as jnp
 __all__ = ["logp_entropy", "logp"]
 
 
-def _fwd_math(logits: jax.Array, actions: jax.Array):
-    x = logits.astype(jnp.float32)
-    m = jnp.max(x, axis=-1, keepdims=True)
-    e = jnp.exp(x - m)
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    sx = jnp.sum(e * x, axis=-1, keepdims=True)
-    lse = m + jnp.log(s)
-    ent = lse - sx / s
+def _onehot_x(x: jax.Array, actions: jax.Array) -> jax.Array:
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     a = actions.astype(jnp.int32)[..., None]
-    xa = jnp.sum(jnp.where(col == a, x, 0.0), axis=-1, keepdims=True)
+    return jnp.where(col == a, x, 0.0)
+
+
+def _reduce_stats(x: jax.Array, actions: jax.Array, with_ent: bool):
+    """One pass over the logits: returns per-row (lse, xa[, sx_over_s]).
+
+    All reduce operands are elementwise functions of x, so XLA's fusion
+    reads x once; a singleton element enters the monoid as
+    (m=x, s=1, sx=x, xa=onehot*x).
+    """
+    xa_arr = _onehot_x(x, actions)
+    ones = jnp.ones_like(x)
+    dims = (x.ndim - 1,)
+    zero = jnp.float32(0)
+    ninf = jnp.float32(-jnp.inf)
+
+    if with_ent:
+        def comb(acc, val):
+            m1, s1, sx1, xa1 = acc
+            m2, s2, sx2, xa2 = val
+            m = jnp.maximum(m1, m2)
+            e1 = jnp.exp(m1 - m)
+            e2 = jnp.exp(m2 - m)
+            return (m, s1 * e1 + s2 * e2, sx1 * e1 + sx2 * e2, xa1 + xa2)
+
+        m, s, sx, xa = jax.lax.reduce((x, ones, x, xa_arr),
+                                      (ninf, zero, zero, zero), comb, dims)
+        return m + jnp.log(s), xa, sx / s
+
+    def comb3(acc, val):
+        m1, s1, xa1 = acc
+        m2, s2, xa2 = val
+        m = jnp.maximum(m1, m2)
+        return (m, s1 * jnp.exp(m1 - m) + s2 * jnp.exp(m2 - m), xa1 + xa2)
+
+    m, s, xa = jax.lax.reduce((x, ones, xa_arr), (ninf, zero, zero),
+                              comb3, dims)
+    return m + jnp.log(s), xa
+
+
+def _fwd_math(logits: jax.Array, actions: jax.Array):
+    x = logits.astype(jnp.float32)
+    lse, xa, sx_s = _reduce_stats(x, actions, with_ent=True)
+    ent = lse - sx_s
     return xa - lse, ent, lse
 
 
@@ -65,26 +106,26 @@ def logp_entropy(logits: jax.Array, actions: jax.Array):
     """(..., N) logits + (...) int actions -> (logp_action, entropy), each
     shaped (...).  Differentiable w.r.t. logits (stash-free custom VJP)."""
     lp, ent, _ = _fwd_math(logits, actions)
-    return lp[..., 0], ent[..., 0]
+    return lp, ent
 
 
 def _le_fwd(logits, actions):
     lp, ent, lse = _fwd_math(logits, actions)
-    return (lp[..., 0], ent[..., 0]), (logits, actions, lse, ent)
+    return (lp, ent), (logits, actions, lse, ent)
 
 
 def _le_bwd(res, g):
     logits, actions, lse, ent = res
     glp, gent = g
     x = logits.astype(jnp.float32)
-    logp = x - lse
+    logp = x - lse[..., None]
     p = jnp.exp(logp)
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     a = actions.astype(jnp.int32)[..., None]
     glp = glp[..., None].astype(jnp.float32)
     gent = gent[..., None].astype(jnp.float32)
     # d(logp_a)/dx = onehot - p;  dH/dx_j = -p_j * (logp_j + H)
-    dx = jnp.where(col == a, glp, 0.0) - p * (glp + gent * (logp + ent))
+    dx = jnp.where(col == a, glp, 0.0) - p * (glp + gent * (logp + ent[..., None]))
     return dx.astype(logits.dtype), None
 
 
@@ -93,18 +134,15 @@ logp_entropy.defvjp(_le_fwd, _le_bwd)
 
 def _lp_math(logits: jax.Array, actions: jax.Array):
     x = logits.astype(jnp.float32)
-    m = jnp.max(x, axis=-1, keepdims=True)
-    lse = m + jnp.log(jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True))
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    a = actions.astype(jnp.int32)[..., None]
-    xa = jnp.sum(jnp.where(col == a, x, 0.0), axis=-1, keepdims=True)
-    return (xa - lse)[..., 0], lse
+    lse, xa = _reduce_stats(x, actions, with_ent=False)
+    return xa - lse, lse
 
 
 @jax.custom_vjp
 def logp(logits: jax.Array, actions: jax.Array) -> jax.Array:
-    """Log-prob of the taken action only (3 reductions instead of 4 — used
-    for the behaviour policy in V-trace, whose entropy is never needed)."""
+    """Log-prob of the taken action only (drops the entropy statistic —
+    used for the behaviour policy in V-trace, whose entropy is never
+    needed)."""
     return _lp_math(logits, actions)[0]
 
 
@@ -116,7 +154,7 @@ def _lp_fwd(logits, actions):
 def _lp_bwd(res, g):
     logits, actions, lse = res
     x = logits.astype(jnp.float32)
-    p = jnp.exp(x - lse)
+    p = jnp.exp(x - lse[..., None])
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     a = actions.astype(jnp.int32)[..., None]
     glp = g[..., None].astype(jnp.float32)
