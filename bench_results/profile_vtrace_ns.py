@@ -101,11 +101,12 @@ if which in ("all", "kernel", "post"):
     planes = (rhos0, rhos0, rhos0, rew, val)
 
 if which in ("all", "kernel"):
-    def mk_k7(carry, a, init=False):
-        r_, c_, p_, rw_, v_ = _dep(None if init else carry, *a)
-        ret, adv = vtrace_returns_adv_pallas(r_, c_, p_, rw_, v_, 0.99, 0.95)
+    def mk_k5(carry, a, init=False):
+        is_, _c, _p, rw_, v_ = _dep(None if init else carry, *a)
+        ret, adv = vtrace_returns_adv_pallas(is_, rw_, v_, 0.99, 0.95,
+                                             1.0, 1.0, 1.0)
         return (jnp.sum(ret) + jnp.sum(adv)) * 1e-12 + 1.0
-    report("kernel 7-stream", planes, mk_k7, K=200, mb=7 * PLANE_MB)
+    report("kernel 5-stream", planes, mk_k5, K=200, mb=5 * PLANE_MB)
 
     def mk_assoc(carry, a, init=False):
         r_, c_, p_, rw_, v_ = _dep(None if init else carry, *a)
@@ -123,8 +124,8 @@ if which in ("all", "post"):
 
     def mk_post(carry, a, init=False):
         IS_, lpt_, ent_, rw_, v_ = _dep(None if init else carry, *a)
-        r_ = jnp.minimum(IS_, 1.0)
-        ret, adv = vtrace_returns_adv_pallas(r_, r_, r_, rw_, v_, 0.99, 0.95)
+        ret, adv = vtrace_returns_adv_pallas(IS_, rw_, v_, 0.99, 0.95,
+                                             1.0, 1.0, 1.0)
         pg = -jnp.mean(lpt_ * adv)
         vl = jnp.mean((v_[:-1] - ret) ** 2)
         el = jnp.mean(ent_)

@@ -49,17 +49,19 @@ def vtrace_error(
     logp_behaviour = jax.lax.stop_gradient(logp(behaviour_output, action))
     IS = jax.lax.stop_gradient(jnp.exp(logp_target - logp_behaviour))
 
-    rhos = jnp.minimum(IS, rho_clip_ratio)
-    cs = jnp.minimum(IS, c_clip_ratio)
-    pg_rhos = jnp.minimum(IS, rho_pg_clip_ratio)
-
     v = jax.lax.stop_gradient(value)
-    if fused_kernels_ok(v, reward, rhos, method=method, n_bufs=12):
+    if fused_kernels_ok(v, reward, IS, method=method, n_bufs=10):
         from di_hpc_tpu.pallas_kernels.rl_scans import vtrace_returns_adv_pallas
 
+        # The kernel derives the three min(IS, clip) planes in VMEM: 5 HBM
+        # streams instead of 7 plus the three spared plane materializations.
         return_, adv = vtrace_returns_adv_pallas(
-            rhos, cs, pg_rhos, reward, v, gamma, lambda_)
+            IS, reward, v, gamma, lambda_,
+            rho_clip_ratio, c_clip_ratio, rho_pg_clip_ratio)
     else:
+        rhos = jnp.minimum(IS, rho_clip_ratio)
+        cs = jnp.minimum(IS, c_clip_ratio)
+        pg_rhos = jnp.minimum(IS, rho_pg_clip_ratio)
         deltas = rhos * (reward + gamma * v[1:] - v[:-1])
         items = linear_recurrence_reverse(deltas, gamma * lambda_ * cs,
                                           method=method)

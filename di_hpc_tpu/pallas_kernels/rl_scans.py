@@ -9,7 +9,7 @@ log-depth over T instead of sequential:
 
   - gae_fused_pallas:      value, reward -> advantage       (gae_kernel.h:10-35)
   - lambda_returns_pallas: value, reward -> lambda-returns  (td_lambda_kernel.h:11-40)
-  - vtrace_returns_adv_pallas: rhos, cs, pg_rhos, reward, value
+  - vtrace_returns_adv_pallas: IS, reward, value (clips folded in-kernel)
                            -> (vs returns, advantages)      (vtrace_kernel.h:153-195)
 
 All outputs are recurrence targets the consuming losses treat as
@@ -306,50 +306,67 @@ td_lambda_loss_pallas.defvjp(_tdl_loss_fwd, _tdl_loss_bwd)
 # V-trace returns + advantage
 # ---------------------------------------------------------------------------
 
-def _vtrace_kernel(rhos_ref, cs_ref, pg_ref, reward_ref, value_ref,
-                   ret_ref, adv_ref, *, gamma: float, lambda_: float, T: int):
-    rhos = rhos_ref[:]
-    cs = cs_ref[:]
-    pg = pg_ref[:]
+def _vtrace_kernel(is_ref, reward_ref, value_ref, ret_ref, adv_ref, *,
+                   gamma: float, lambda_: float, rho_clip: float,
+                   c_clip: float, pg_clip: float, T: int):
+    IS = is_ref[:]
     r = reward_ref[:]
     v = value_ref[:]           # (T+1, blk)
+    # The three clipped importance-weight planes are all min(IS, clip) of
+    # the ONE IS plane — folding the clips here turns 7 HBM streams into 5
+    # and spares XLA materializing rhos/cs/pg_rhos (VERDICT r3 lever; the
+    # reference reads three pre-clipped arrays per its torch contract,
+    # vtrace_kernel.h:161-180).
+    rhos = jnp.minimum(IS, rho_clip)
+    cs = jnp.minimum(IS, c_clip)
     delta = rhos * (r + gamma * v[1:] - v[:-1])
     items = _suffix_scan(delta, gamma * lambda_ * cs)
     ret = v[:-1] + items
     ret_ref[:] = ret
     ret_tp1 = jnp.concatenate([ret[1:], v[-1:]], axis=0)
-    adv_ref[:] = pg * (r + gamma * ret_tp1 - v[:-1])
+    adv_ref[:] = jnp.minimum(IS, pg_clip) * (r + gamma * ret_tp1 - v[:-1])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def vtrace_returns_adv_pallas(rhos, cs, pg_rhos, reward, value,
-                              gamma: float = 0.99, lambda_: float = 0.95):
-    """Fused V-trace recurrence: one pass over the 4 (T, B) inputs +
-    value (T+1, B), producing (returns, advantages) (reference spreads this
-    over 3 kernels, vtrace_kernel.h:153-195).  Forward-only (zero-grad VJP)."""
-    return _vtrace_returns_adv_impl(rhos, cs, pg_rhos, reward, value, gamma, lambda_)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def vtrace_returns_adv_pallas(is_weights, reward, value,
+                              gamma: float = 0.99, lambda_: float = 0.95,
+                              rho_clip: float = 1.0, c_clip: float = 1.0,
+                              pg_clip: float = 1.0):
+    """Fused V-trace recurrence: one pass over the IS-weight + reward (T, B)
+    planes and value (T+1, B), producing (returns, advantages); the three
+    min(IS, clip) planes are derived in-kernel (reference spreads this over
+    3 kernels on pre-clipped inputs, vtrace_kernel.h:153-195).  Forward-only
+    (zero-grad VJP)."""
+    return _vtrace_returns_adv_impl(is_weights, reward, value, gamma,
+                                    lambda_, rho_clip, c_clip, pg_clip)
 
 
 vtrace_returns_adv_pallas.defvjp(
-    lambda r, c, p, rw, v, g, l: (
-        _vtrace_returns_adv_impl(r, c, p, rw, v, g, l), (r, c, p, rw, v)),
-    lambda g, l, res, ct: tuple(jnp.zeros_like(x) for x in res),
+    lambda i, rw, v, g, l, rc, cc, pc: (
+        _vtrace_returns_adv_impl(i, rw, v, g, l, rc, cc, pc), (i, rw, v)),
+    lambda g, l, rc, cc, pc, res, ct: tuple(jnp.zeros_like(x) for x in res),
 )
 
 
-@functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
-def _vtrace_returns_adv_impl(rhos, cs, pg_rhos, reward, value,
-                             gamma: float, lambda_: float):
+@functools.partial(jax.jit, static_argnames=(
+    "gamma", "lambda_", "rho_clip", "c_clip", "pg_clip"))
+def _vtrace_returns_adv_impl(is_weights, reward, value, gamma: float,
+                             lambda_: float, rho_clip: float, c_clip: float,
+                             pg_clip: float):
     T, B = reward.shape
-    # n_bufs=12, not the 7 ios: unlike gae/lambda-returns (row-constant
+    # n_bufs=10, not the 5 ios: unlike gae/lambda-returns (row-constant
     # (T, 1) coefficients), vtrace's suffix scan carries a FULL (T, blk)
-    # coefficient plane, so the doubling loop keeps ~2 extra (T, blk)
-    # shift temporaries live per operand.  At T=1024, B=4096 the 7-ios
-    # charge picked blk=256 and Mosaic measured 18MB scoped VMEM against
-    # the 16MB limit (r3 prewarm); 12 ios picks blk=128 (~9MB real) and
-    # leaves the T=128 stages' blk=512 choice untouched.
-    blk = _pick_blk(T, B, 12)
-    kernel = functools.partial(_vtrace_kernel, gamma=gamma, lambda_=lambda_, T=T)
+    # coefficient plane (cs, derived in-kernel), so the doubling loop keeps
+    # ~2 extra (T, blk) shift temporaries live per operand, plus the
+    # in-kernel rhos/cs derivations.  At T=1024, B=4096 a 7-ios charge
+    # picked blk=256 and Mosaic measured 18MB scoped VMEM against the 16MB
+    # limit (r3 prewarm); 10 ios picks blk=128 and leaves the T=128 stages'
+    # blk=512 choice untouched.  Keep ops/vtrace.py's fused_kernels_ok
+    # n_bufs in sync with this charge.
+    blk = _pick_blk(T, B, 10)
+    kernel = functools.partial(_vtrace_kernel, gamma=gamma, lambda_=lambda_,
+                               rho_clip=rho_clip, c_clip=c_clip,
+                               pg_clip=pg_clip, T=T)
     tb = lambda i: (0, i)
     spec = pl.BlockSpec((T, blk), tb, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -357,14 +374,14 @@ def _vtrace_returns_adv_impl(rhos, cs, pg_rhos, reward, value,
         out_shape=(jax.ShapeDtypeStruct((T, B), reward.dtype),
                    jax.ShapeDtypeStruct((T, B), reward.dtype)),
         grid=(pl.cdiv(B, blk),),
-        in_specs=[spec, spec, spec, spec,
+        in_specs=[spec, spec,
                   pl.BlockSpec((T + 1, blk), tb, memory_space=pltpu.VMEM)],
         out_specs=(spec, spec),
         cost_estimate=pl.CostEstimate(
-            flops=10 * T * B * max(1, (T - 1)).bit_length(),
-            bytes_accessed=7 * T * B * 4,
+            flops=12 * T * B * max(1, (T - 1)).bit_length(),
+            bytes_accessed=5 * T * B * 4,
             transcendentals=0,
         ),
         interpret=_ls.INTERPRET,
-    )(rhos, cs, pg_rhos, reward, value)
+    )(is_weights, reward, value)
     return out

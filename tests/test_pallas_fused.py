@@ -68,11 +68,13 @@ def test_vtrace_returns_adv_kernel(interpret, key):
     value = jax.random.normal(ks[0], (T + 1, B))
     reward = jax.random.normal(ks[1], (T, B))
     IS = jnp.exp(jax.random.normal(ks[2], (T, B)) * 0.3)
-    rhos = jnp.minimum(IS, 1.0); cs = jnp.minimum(IS, 1.0); pg = jnp.minimum(IS, 1.0)
+    # Distinct clip ratios exercise the in-kernel min(IS, clip) folds.
+    rhos = jnp.minimum(IS, 1.0); cs = jnp.minimum(IS, 0.9); pg = jnp.minimum(IS, 1.2)
     want_ret = origin.vtrace_nstep_return(rhos, cs, reward, value, 0.99, 0.95)
     want_adv = origin.vtrace_advantage(
         pg, reward, jnp.concatenate([want_ret[1:], value[-1:]], 0), value[:-1], 0.99)
-    got_ret, got_adv = vtrace_returns_adv_pallas(rhos, cs, pg, reward, value, 0.99, 0.95)
+    got_ret, got_adv = vtrace_returns_adv_pallas(IS, reward, value, 0.99, 0.95,
+                                                 1.0, 0.9, 1.2)
     np.testing.assert_allclose(got_ret, want_ret, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(got_adv, want_adv, rtol=1e-4, atol=1e-5)
 
