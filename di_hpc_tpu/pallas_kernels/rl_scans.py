@@ -186,33 +186,27 @@ def _lambda_returns_impl(value: jax.Array, reward: jax.Array,
 # TD(lambda) loss, fully fused (returns + squared error in one pass)
 # ---------------------------------------------------------------------------
 
-def _tdl_loss_kernel(value_ref, reward_ref, acc_ref, *, gamma: float,
+def _tdl_loss_kernel(value_ref, reward_ref, out_ref, *, gamma: float,
                      lambda_: float, T: int, B: int):
-    """Accumulates sum(e*e) into a revisited (1, 128) output block (every
-    lane carries the same running total; the caller reads [0, 0]).  A
-    (1, 1)-blocked per-grid-step output is REJECTED by Mosaic on real
-    hardware (block dims must be 8/128-divisible or whole-array) — a
-    constraint interpret mode does not check; the TPU grid executes
-    sequentially, so cross-step accumulation into a constant-index block
-    is sound (same pattern as the LSTM backward's param-grad
-    accumulators, lstm_cell._bwd_kernel_v2)."""
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
+    """Writes per-lane partial sums of e*e into this block's (1, blk) slice
+    of a (1, B) output; the caller sums the B lanes (a ~16KB epilogue).
+    The r3 scheme accumulated a full scalar into a REVISITED (1, 128) block
+    (read-modify-write chaining every grid step); per-block partials
+    measured 59.2 vs 63.3us at T=1024, B=4096 (profile_tdl_r4.py) and drop
+    the cross-step dependence.  The time axis is reduced in-kernel (cheap:
+    sublane reduction); the lane axis is left to XLA."""
     v = value_ref[:]
     ret = _lret_body(v, reward_ref[:], gamma, lambda_, T)
     e = ret - v[:-1]
     blk = e.shape[1]
     if B % blk:
         # Ragged last block: the padding lanes are uninitialized VMEM (can
-        # be NaN) and the scalar reduction sums every lane — zero them.
+        # be NaN) and they would join the caller's lane sum — zero them.
+        i = pl.program_id(0)
         col = (i * blk
                + jax.lax.broadcasted_iota(jnp.int32, e.shape, 1))
         e = jnp.where(col < B, e, 0.0)
-    acc_ref[:] = acc_ref[:] + jnp.sum(e * e)
+    out_ref[:] = jnp.sum(e * e, axis=0, keepdims=True)
 
 
 def _tdl_err_kernel(value_ref, reward_ref, out_ref, *, gamma: float,
@@ -249,12 +243,13 @@ def _tdl_call(kernel_fn, out_shape, out_spec, value, reward, gamma, lambda_,
 @functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))
 def _tdl_loss_impl(value, reward, gamma: float, lambda_: float):
     T, B = reward.shape
-    acc = _tdl_call(
+    parts = _tdl_call(
         _tdl_loss_kernel,
-        jax.ShapeDtypeStruct((1, 128), jnp.float32),
-        pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((1, B), jnp.float32),
+        pl.BlockSpec((1, _pick_blk(T, B, 3)), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
         value, reward, gamma, lambda_, B=B)
-    return 0.5 * acc[0, 0] / (T * B)
+    return 0.5 * jnp.sum(parts) / (T * B)
 
 
 @functools.partial(jax.jit, static_argnames=("gamma", "lambda_"))

@@ -76,6 +76,26 @@ def test_bf16_logits(key):
                                rtol=5e-2, atol=2e-2)
 
 
+def test_extreme_and_degenerate_inputs(key):
+    """The variadic-reduce forward must stay finite at +-1e4 logits (the
+    online combiner's exp(m - M) saturates to 0, never overflows) and
+    handle N=1 (logp == 0, entropy == 0)."""
+    xe = jnp.array([[1e4, -1e4, 0.0], [-1e4, -1e4, -1e4]])
+    act = jnp.array([0, 2])
+    lp, ent = logp_entropy(xe, act)
+    assert bool(jnp.all(jnp.isfinite(lp))) and bool(jnp.all(jnp.isfinite(ent)))
+    np.testing.assert_allclose(lp[0], 0.0, atol=1e-6)       # argmax action
+    # uniform row at magnitude 1e4: ent = lse - sx/s cancels two 1e4-sized
+    # terms, so f32 leaves ~|m|*eps ~ 2e-5 of residual — loose tolerance.
+    np.testing.assert_allclose(ent[1], np.log(3.0), rtol=1e-3)
+    np.testing.assert_allclose(logp(xe, jnp.array([1, 0]))[0], -2e4, rtol=1e-6)
+
+    x1 = jax.random.normal(key, (5, 1))
+    lp1, ent1 = logp_entropy(x1, jnp.zeros((5,), jnp.int32))
+    np.testing.assert_allclose(lp1, 0.0, atol=1e-6)
+    np.testing.assert_allclose(ent1, 0.0, atol=1e-6)
+
+
 def test_jit_vmap_composability(key):
     B, N = 16, 9
     k1, k2 = jax.random.split(key)
