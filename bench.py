@@ -840,12 +840,16 @@ def main():
                     best = float("inf")
                     for _ in range(reps + 1):  # first rep warms caches
                         t = time.time()
-                        # block: jnp.asarray H2D is async — without the
-                        # block each timed call absorbs the PREVIOUS call's
-                        # in-flight transfers, which systematically taxed
-                        # whichever side ran second (r3 recorded the fused
-                        # 1d/3d rows "losing" to their own oracle that way).
-                        jax.block_until_ready(fn(list(xs), **kw))
+                        # Materialize on the HOST CPU device and block:
+                        # async jnp.asarray let each timed call absorb the
+                        # PREVIOUS call's in-flight transfers (r3's phantom
+                        # 1d/3d "regressions"), while a blocking TUNNELED
+                        # H2D measures the tunnel (40-540ms/call, r4), not
+                        # the pack.  A co-located host pays neither; CPU-
+                        # device materialization is the faithful cost model
+                        # and is identical for both sides.
+                        with jax.default_device(jax.devices("cpu")[0]):
+                            jax.block_until_ready(fn(list(xs), **kw))
                         best = min(best, time.time() - t)
                     times[kind] = best
                 entry[f"pad{nd}{mode_name}_naive_us"] = times["naive"] * 1e6

@@ -32,15 +32,25 @@ from di_hpc_tpu.utils.native import (
 )
 
 
+# Below ~100KB of payload the C++ pack's per-call overhead (per-tensor
+# contiguity checks + ctypes pointer marshalling) exceeds what it saves
+# over numpy slice-assigns: at the reference 1D config (64 rows x ~80
+# floats, 20KB) the native path measured 0.73x the oracle while every
+# >=700KB config wins 1.26-2.40x (bench padding_ops rows, r4).
+_NATIVE_PACK_MIN_ELEMS = 25_600
+
+
 def _pad_nd_fast(x, value, ndim):
     """Padded-batch assembly with the C++ ragged-pack data plane for float32
     inputs (one memcpy per contiguous row instead of a Python loop); falls
-    back to the Python/numpy oracle otherwise."""
+    back to the Python/numpy oracle for non-f32 input or payloads small
+    enough that per-call marshalling dominates."""
     import jax.numpy as jnp
 
     shapes = [tuple(t.shape) for t in x]
-    if all(len(s) == ndim for s in shapes) and all(
-            np.asarray(t).dtype == np.float32 for t in x):
+    if (all(len(s) == ndim for s in shapes)
+            and sum(cum(s) for s in shapes) >= _NATIVE_PACK_MIN_ELEMS
+            and all(np.asarray(t).dtype == np.float32 for t in x)):
         max_shape = [max(d) for d in zip(*shapes)]
         res = native_pack_padded_f32([np.asarray(t) for t in x], max_shape, value)
         if res is not None:

@@ -40,6 +40,7 @@ def upgo_loss(
     bootstrap_values: jax.Array,  # (T+1, B)
     method: Method = "auto",
 ) -> jax.Array:
+    from di_hpc_tpu.ops._backend import fused_kernels_ok
     from di_hpc_tpu.ops.categorical import logp
     from di_hpc_tpu.ops._validate import check_upgo
 
@@ -47,8 +48,18 @@ def upgo_loss(
                bootstrap_values)
 
     v = jax.lax.stop_gradient(bootstrap_values)
-    returns = upgo_returns(jax.lax.stop_gradient(rewards), v, method=method)
-    advantages = jax.lax.stop_gradient(rhos) * (returns - v[:-1])
+    r = jax.lax.stop_gradient(rewards)
+    rh = jax.lax.stop_gradient(rhos)
+    if fused_kernels_ok(v, r, rh, method=method, n_bufs=10):
+        from di_hpc_tpu.pallas_kernels.rl_scans import upgo_advantages_pallas
+
+        # One kernel pass derives the binary lambdas, the gamma=1 return
+        # recurrence AND the advantage (the generic path materializes the
+        # lambda/a/d planes and scans separately).
+        advantages = upgo_advantages_pallas(rh, r, v)
+    else:
+        returns = upgo_returns(r, v, method=method)
+        advantages = rh * (returns - v[:-1])
     metric = logp(target_output, action)
     return -jnp.mean(advantages * metric)
 

@@ -298,6 +298,68 @@ td_lambda_loss_pallas.defvjp(_tdl_loss_fwd, _tdl_loss_bwd)
 
 
 # ---------------------------------------------------------------------------
+# UPGO advantages (binary-lambda prologue + scan + advantage epilogue)
+# ---------------------------------------------------------------------------
+
+def _upgo_kernel(rhos_ref, reward_ref, value_ref, adv_ref, *, T: int):
+    """adv = rhos * (upgo_returns - V[:-1]) in one pass: the data-dependent
+    binary lambdas (trace continues iff r_{t+1} + V_{t+2} >= V_{t+1},
+    origin/upgo.py:34-38), the gamma=1 lambda-return recurrence, and the
+    advantage are all derived in VMEM from 3 input streams (the generic
+    path materializes the lambda/a/d planes and runs the scan as a separate
+    kernel; reference counterpart upgo_kernel.h:11-38)."""
+    rhos = rhos_ref[:]
+    r = reward_ref[:]
+    v = value_ref[:]                           # (T+1, blk)
+    lam = ((r + v[1:]) >= v[:-1]).astype(r.dtype)
+    # multistep_forward_view's shifted-lambda layout: d[t] = lam[t+1] for
+    # t < T-1 and d[T-1] = 0 (the horizon cut).
+    d = jnp.concatenate([lam[1:], jnp.zeros_like(lam[-1:])], axis=0)
+    a = r + (1.0 - d) * v[1:]
+    ret = _suffix_scan(a, d)
+    adv_ref[:] = rhos * (ret - v[:-1])
+
+
+@jax.custom_vjp
+def upgo_advantages_pallas(rhos, reward, value):
+    """Fused UPGO advantage: one pass over rhos/reward (T, B) + value
+    (T+1, B) -> rhos * (upgo_returns - V[:-1]).  Forward-only (the UPGO
+    loss detaches advantages entirely; zero-grad VJP)."""
+    return _upgo_adv_impl(rhos, reward, value)
+
+
+upgo_advantages_pallas.defvjp(
+    lambda rh, r, v: (_upgo_adv_impl(rh, r, v), (rh, r, v)),
+    lambda res, ct: tuple(jnp.zeros_like(x) for x in res),
+)
+
+
+@jax.jit
+def _upgo_adv_impl(rhos, reward, value):
+    T, B = reward.shape
+    # Full-plane binary coefficients: same scan-temporary charge story as
+    # the vtrace kernel (see _vtrace_returns_adv_impl) => n_bufs=10.
+    blk = _pick_blk(T, B, 10)
+    kernel = functools.partial(_upgo_kernel, T=T)
+    tb = lambda i: (0, i)
+    spec = pl.BlockSpec((T, blk), tb, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, B), reward.dtype),
+        grid=(pl.cdiv(B, blk),),
+        in_specs=[spec, spec,
+                  pl.BlockSpec((T + 1, blk), tb, memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * T * B * max(1, (T - 1)).bit_length(),
+            bytes_accessed=4 * T * B * 4,
+            transcendentals=0,
+        ),
+        interpret=_ls.INTERPRET,
+    )(rhos, reward, value)
+
+
+# ---------------------------------------------------------------------------
 # V-trace returns + advantage
 # ---------------------------------------------------------------------------
 

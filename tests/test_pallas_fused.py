@@ -99,6 +99,11 @@ def test_fused_ops_route_through_kernels(interpret, key):
     want = origin.vtrace_error(origin.vtrace_data(to, bo, act, value, reward, None))
     np.testing.assert_allclose([float(x) for x in got],
                                [float(x) for x in want], rtol=1e-4, atol=1e-5)
+    rhos = jnp.exp(jax.random.normal(ks[4], (T, B)) * 0.3)
+    np.testing.assert_allclose(
+        float(ops.upgo_loss(to, rhos, act, reward, value)),
+        float(origin.upgo_loss(to, rhos, act, reward, value)),
+        rtol=1e-4, atol=1e-6)
     # grads through the fused categorical head
     g_f = jax.grad(lambda t: ops.vtrace_error(
         ops.vtrace_data(t, bo, act, value, reward, None)).policy_loss)(to)
