@@ -35,6 +35,9 @@ kept as evidence (in_geomean=0) — see BASELINE.md "PPO adjudication".
 The `td_point_ops` / `actor_critic_ops` entries are likewise evidence:
 qntd/iqn (and the model helpers) have no kernel case (ops IS jit(origin),
 docs/DESIGN.md §6) so their ~1.0x is the claim being demonstrated.
+`train_step_bf16` is evidence too: it compares the SAME fused train step
+f32 vs bf16 mixed precision (not fused-vs-naive), making the
+mixed-precision margin driver-visible.
 
 Env knobs: DIHPC_BENCH_BUDGET_S (default 420), DIHPC_BENCH_SMOKE=1,
 DIHPC_BENCH_PLATFORM=cpu, DIHPC_BENCH_STAGES=key1,key2 (run only the named

@@ -68,7 +68,13 @@ def _reduce_stats(x: jax.Array, actions: jax.Array, with_ent: bool):
     ones = jnp.ones_like(x)
     dims = (x.ndim - 1,)
     zero = jnp.float32(0)
-    ninf = jnp.float32(-jnp.inf)
+    # The max-accumulator identity must be FINITE: TPU lowers the variadic
+    # reduce with init-padded lanes, and combining two init accumulators
+    # with m = -inf evaluates exp(-inf - (-inf)) = nan (observed on real
+    # hardware at small/odd shapes, e.g. (1, 3) — tests/test_categorical
+    # extreme-inputs).  f32-min is an exact identity for the online-softmax
+    # monoid: max(min, m) = m and 0 * exp(min - m) = 0 for every finite m.
+    ninf = jnp.finfo(jnp.float32).min
 
     if with_ent:
         def comb(acc, val):
