@@ -52,6 +52,52 @@ def _suffix_scan(aa: jax.Array, bb: jax.Array) -> jax.Array:
     return aa
 
 
+_CHUNK_L = 64
+
+
+def _suffix_scan_full_plane(aa: jax.Array, bb: jax.Array) -> jax.Array:
+    """Suffix composition for FULL-PLANE (T, blk) coefficients, two-level.
+
+    The flat doubling scan shifts BOTH aa and bb for log2(T) passes; for
+    full-plane bb that is the dominant VMEM traffic (the r3 vtrace kernel
+    ran at 75-78% of its stream floor).  Chunking does log2(L) in-chunk
+    passes (vectorized over chunks), a tiny unrolled cross-chunk scan, and
+    one fix-up multiply: measured 105.5 vs 131.9us on the vtrace kernel at
+    T=1024, B=4096 — 97% SoL (bench_results/profile_chunked_scan_r4.py; the
+    r2 retirement of chunking covered only row-constant-b gae, where bb
+    shifts are nearly free and the flat scan is already at floor).
+
+    Falls back to the flat scan when T is not a multiple of the chunk
+    length (tests' odd shapes) or too short to split.
+    """
+    T, blk = aa.shape
+    L = _CHUNK_L
+    if T % L or T <= L:
+        return _suffix_scan(aa, bb)
+    C = T // L
+    a = aa.reshape(C, L, blk)
+    b = bb.reshape(C, L, blk)
+    k = 1
+    while k < L:
+        a_sh = jnp.concatenate([a[:, k:], jnp.zeros((C, k, blk), a.dtype)], axis=1)
+        b_sh = jnp.concatenate([b[:, k:], jnp.ones((C, k, blk), b.dtype)], axis=1)
+        a = a + b * a_sh
+        b = b * b_sh
+        k *= 2
+    # Row 0 of each chunk now holds the whole-chunk composite (A_c, B_c);
+    # cross-chunk suffix scan of C tiny rows gives each chunk its
+    # carry-in-from-the-right.
+    A = a[:, 0]
+    Bc = b[:, 0]
+    carry = jnp.zeros((1, blk), aa.dtype)
+    carries = [carry]
+    for c in range(C - 1, 0, -1):
+        carry = A[c][None] + Bc[c][None] * carry
+        carries.append(carry)
+    carry_in = jnp.concatenate(carries[::-1], axis=0)   # (C, blk)
+    return (a + b * carry_in[:, None, :]).reshape(T, blk)
+
+
 def _pick_blk(T: int, B: int, n_bufs: int) -> int:
     # Budget counts io buffers (double-buffered by the pipeline) plus ~4
     # live doubling-scan temporaries; Mosaic's scoped-vmem limit is 16MB.
@@ -316,7 +362,7 @@ def _upgo_kernel(rhos_ref, reward_ref, value_ref, adv_ref, *, T: int):
     # t < T-1 and d[T-1] = 0 (the horizon cut).
     d = jnp.concatenate([lam[1:], jnp.zeros_like(lam[-1:])], axis=0)
     a = r + (1.0 - d) * v[1:]
-    ret = _suffix_scan(a, d)
+    ret = _suffix_scan_full_plane(a, d)
     adv_ref[:] = rhos * (ret - v[:-1])
 
 
@@ -377,7 +423,7 @@ def _vtrace_kernel(is_ref, reward_ref, value_ref, ret_ref, adv_ref, *,
     rhos = jnp.minimum(IS, rho_clip)
     cs = jnp.minimum(IS, c_clip)
     delta = rhos * (r + gamma * v[1:] - v[:-1])
-    items = _suffix_scan(delta, gamma * lambda_ * cs)
+    items = _suffix_scan_full_plane(delta, gamma * lambda_ * cs)
     ret = v[:-1] + items
     ret_ref[:] = ret
     ret_tp1 = jnp.concatenate([ret[1:], v[-1:]], axis=0)

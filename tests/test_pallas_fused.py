@@ -79,6 +79,27 @@ def test_vtrace_returns_adv_kernel(interpret, key):
     np.testing.assert_allclose(got_adv, want_adv, rtol=1e-4, atol=1e-5)
 
 
+def test_vtrace_kernel_chunked_scan_path(interpret, key):
+    """T=128 (a multiple of the 64-row chunk) exercises the two-level
+    chunked suffix scan inside the vtrace kernel; T=36 above exercises the
+    flat-scan fallback."""
+    from di_hpc_tpu.pallas_kernels.rl_scans import vtrace_returns_adv_pallas
+    T, B = 128, 136
+    ks = jax.random.split(key, 5)
+    value = jax.random.normal(ks[0], (T + 1, B))
+    reward = jax.random.normal(ks[1], (T, B))
+    IS = jnp.exp(jax.random.normal(ks[2], (T, B)) * 0.3)
+    rhos = jnp.minimum(IS, 1.0)
+    want_ret = origin.vtrace_nstep_return(rhos, rhos, reward, value, 0.99, 0.95)
+    want_adv = origin.vtrace_advantage(
+        rhos, reward, jnp.concatenate([want_ret[1:], value[-1:]], 0),
+        value[:-1], 0.99)
+    got_ret, got_adv = vtrace_returns_adv_pallas(IS, reward, value, 0.99, 0.95,
+                                                 1.0, 1.0, 1.0)
+    np.testing.assert_allclose(got_ret, want_ret, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_adv, want_adv, rtol=1e-4, atol=1e-5)
+
+
 def test_fused_ops_route_through_kernels(interpret, key):
     """End-to-end: ops.* with interpret-forced Pallas backends match oracles
     (fresh shapes to avoid earlier jit cache entries from the non-fused path)."""
