@@ -94,12 +94,14 @@ def test_gae_denominators_closed_form(lam):
     np.testing.assert_allclose(denom, want, rtol=1e-6)
 
 
-def test_pallas_interpret_mode(key):
-    """Pallas kernel correctness via the interpreter (runs on CPU)."""
+@pytest.mark.parametrize("T", [64, 128])  # 64 = flat scan; 128 = chunked
+def test_pallas_interpret_mode(T, key):
+    """Pallas kernel correctness via the interpreter (runs on CPU); T=128
+    exercises the two-level chunked composition in both directions."""
     import di_hpc_tpu.pallas_kernels.linear_scan as ls
 
     k1, k2 = jax.random.split(key)
-    T, B = 64, 256
+    B = 256
     a = jax.random.normal(k1, (T, B), jnp.float32)
     b = jax.random.uniform(k2, (T, B), jnp.float32, minval=0.5, maxval=0.99)
 
