@@ -76,11 +76,12 @@ def _suffix_scan_full_plane(aa: jax.Array, bb: jax.Array) -> jax.Array:
         return _suffix_scan(aa, bb)
     C = T // L
     a = aa.reshape(C, L, blk)
-    b = bb.reshape(C, L, blk)
+    bw = bb.shape[1]                  # blk, or 1 for row-constant b
+    b = bb.reshape(C, L, bw)
     k = 1
     while k < L:
         a_sh = jnp.concatenate([a[:, k:], jnp.zeros((C, k, blk), a.dtype)], axis=1)
-        b_sh = jnp.concatenate([b[:, k:], jnp.ones((C, k, blk), b.dtype)], axis=1)
+        b_sh = jnp.concatenate([b[:, k:], jnp.ones((C, k, bw), b.dtype)], axis=1)
         a = a + b * a_sh
         b = b * b_sh
         k *= 2
