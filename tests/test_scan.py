@@ -94,9 +94,10 @@ def test_gae_denominators_closed_form(lam):
     np.testing.assert_allclose(denom, want, rtol=1e-6)
 
 
-@pytest.mark.parametrize("T", [64, 128])  # 64 = flat scan; 128 = chunked
+# 64 = flat scan; 128 = chunked; 192 = chunked with an odd chunk count.
+@pytest.mark.parametrize("T", [64, 128, 192])
 def test_pallas_interpret_mode(T, key):
-    """Pallas kernel correctness via the interpreter (runs on CPU); T=128
+    """Pallas kernel correctness via the interpreter (runs on CPU); T>=128
     exercises the two-level chunked composition in both directions."""
     import di_hpc_tpu.pallas_kernels.linear_scan as ls
 
