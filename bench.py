@@ -453,7 +453,7 @@ def main():
         "ppo_grad_B4096_N128", "ppo+grad B=4096 N=128",
         ppo_train_step(origin),
         ppo_train_step(ops),
-        est_s=50, K=4000, bytes_mb=ppo_mb, in_geomean=0, args=ppo_args,
+        est_s=50, K=7000, bytes_mb=ppo_mb, in_geomean=0, args=ppo_args,
     )
 
     # PPO fast path: naive side = the full origin recompute — the
@@ -476,7 +476,7 @@ def main():
         "ppo_fast_grad_B4096_N128", "ppo fast(logp_old)+grad",
         ppo_train_step(origin),
         ppo_fast_step,
-        est_s=45, K=4000, bytes_mb=3 * Bp * Np * 4 / 1e6, args=ppo_args,
+        est_s=45, K=7000, bytes_mb=3 * Bp * Np * 4 / 1e6, args=ppo_args,
     )
 
     # ----- C51 distributional TD: reference config B=128 N=128 atoms=51 -----
@@ -545,7 +545,7 @@ def main():
         "gae_T1024_B4096", "gae T=1024 B=4096",
         gae_step(functools.partial(origin.gae, gamma=0.99, lambda_=0.97)),
         gae_step(functools.partial(ops.gae, gamma=0.99, lambda_=0.97)),
-        est_s=45, K=1500, bytes_mb=gae_mb, args=(value, reward),
+        est_s=45, K=2500, bytes_mb=gae_mb, args=(value, reward),
     )
 
     # ----- LSTM: reference config seq=64, B=3, in=1792, hid=384, L=3 -----
@@ -634,7 +634,7 @@ def main():
         "upgo_T128_B512_N128", "upgo T=128 B=512 N=128",
         upgo_step(origin.upgo_loss),
         upgo_step(ops.upgo_loss),
-        est_s=50, K=500, bytes_mb=Tv * Bv * Nv * 4 / 1e6,
+        est_s=50, K=2000, bytes_mb=Tv * Bv * Nv * 4 / 1e6,
         args=(to, rhos, act, rew_v, val_v),
     )
 
@@ -650,7 +650,7 @@ def main():
         "td_lambda_T1024_B4096", "td_lambda T=1024 B=4096",
         tdl_step(origin.td_lambda_error),
         tdl_step(ops.td_lambda_error),
-        est_s=55, K=1500, bytes_mb=tdl_mb, args=(value, reward),
+        est_s=55, K=2000, bytes_mb=tdl_mb, args=(value, reward),
     )
 
     def vtrace_train_step(fn_mod):
@@ -676,7 +676,7 @@ def main():
         "vtrace_grad_T128_B512_N128", "vtrace+grad T=128 B=512",
         vtrace_train_step(origin),
         vtrace_train_step(ops),
-        est_s=65, K=300, bytes_mb=vtr_grad_mb,
+        est_s=65, K=600, bytes_mb=vtr_grad_mb,
         args=(to, bo, act, val_v, rew_v),
     )
 
@@ -738,7 +738,7 @@ def main():
         "train_step_T32_B256_h512", "train step (model+loss+grad+adam)",
         train_step_factory(lstm_naive, origin.vtrace_error),
         train_step_factory(lstm_fused, ops.vtrace_error),
-        est_s=120, K=50, n=3, flops_g=train_flops_g,
+        est_s=120, K=60, n=3, flops_g=train_flops_g,
         args=(params0, tb, opt0),
     )
 
@@ -801,7 +801,7 @@ def main():
     run_stage(
         "train_step_bf16_T32_B256_h512", "train step f32 vs bf16 mixed",
         mp_step_factory(None), mp_step_factory(jnp.bfloat16),
-        est_s=100, K=50, n=3, in_geomean=0,
+        est_s=100, K=60, n=3, in_geomean=0,
         args=(params0, tb, opt0),
     )
 
