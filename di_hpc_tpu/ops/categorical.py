@@ -64,17 +64,22 @@ def _reduce_stats(x: jax.Array, actions: jax.Array, with_ent: bool):
     reads x once; a singleton element enters the monoid as
     (m=x, s=1, sx=x, xa=onehot*x).
     """
+    # -inf NEVER enters the monoid: (a) the max-accumulator identity must be
+    # FINITE — TPU lowers the variadic reduce with init-padded lanes, and
+    # combining two -inf accumulators evaluates exp(-inf - (-inf)) = nan
+    # (observed on real hardware at small/odd shapes, e.g. (1, 3)); (b) the
+    # same combine fires for two -inf DATA elements, i.e. the standard
+    # masked-invalid-action idiom logits=[x, -inf, ...].  Clamping to
+    # f32-min preserves semantics: a clamped masked logit still contributes
+    # exp(min - M) = 0 to every sum and yields an astronomically negative
+    # logp (exp(logp) = 0), while f32-min is an exact monoid identity
+    # (max(min, m) = m and 0 * exp(min - m) = 0 for every finite m).
+    ninf = jnp.finfo(jnp.float32).min
+    x = jnp.maximum(x, ninf)
     xa_arr = _onehot_x(x, actions)
     ones = jnp.ones_like(x)
     dims = (x.ndim - 1,)
     zero = jnp.float32(0)
-    # The max-accumulator identity must be FINITE: TPU lowers the variadic
-    # reduce with init-padded lanes, and combining two init accumulators
-    # with m = -inf evaluates exp(-inf - (-inf)) = nan (observed on real
-    # hardware at small/odd shapes, e.g. (1, 3) — tests/test_categorical
-    # extreme-inputs).  f32-min is an exact identity for the online-softmax
-    # monoid: max(min, m) = m and 0 * exp(min - m) = 0 for every finite m.
-    ninf = jnp.finfo(jnp.float32).min
 
     if with_ent:
         def comb(acc, val):
@@ -126,12 +131,18 @@ def _le_bwd(res, g):
     x = logits.astype(jnp.float32)
     logp = x - lse[..., None]
     p = jnp.exp(logp)
+    # Masked -inf logits give p = 0 with logp = -inf; the entropy term
+    # would then evaluate 0 * (gent * -inf) = nan.  Clamping logp at -88
+    # (where f32 exp already underflows to exactly 0) is exact wherever
+    # p > 1e-38 and zeroes the term, as the true limit does, below that.
+    logp_safe = jnp.maximum(logp, -88.0)
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     a = actions.astype(jnp.int32)[..., None]
     glp = glp[..., None].astype(jnp.float32)
     gent = gent[..., None].astype(jnp.float32)
     # d(logp_a)/dx = onehot - p;  dH/dx_j = -p_j * (logp_j + H)
-    dx = jnp.where(col == a, glp, 0.0) - p * (glp + gent * (logp + ent[..., None]))
+    dx = jnp.where(col == a, glp, 0.0) - p * (
+        glp + gent * (logp_safe + ent[..., None]))
     return dx.astype(logits.dtype), None
 
 

@@ -50,7 +50,8 @@ def upgo_loss(
     v = jax.lax.stop_gradient(bootstrap_values)
     r = jax.lax.stop_gradient(rewards)
     rh = jax.lax.stop_gradient(rhos)
-    if fused_kernels_ok(v, r, rh, method=method, n_bufs=10):
+    from di_hpc_tpu.ops._backend import UPGO_NBUFS
+    if fused_kernels_ok(v, r, rh, method=method, n_bufs=UPGO_NBUFS):
         from di_hpc_tpu.pallas_kernels.rl_scans import upgo_advantages_pallas
 
         # One kernel pass derives the binary lambdas, the gamma=1 return

@@ -50,7 +50,8 @@ def vtrace_error(
     IS = jax.lax.stop_gradient(jnp.exp(logp_target - logp_behaviour))
 
     v = jax.lax.stop_gradient(value)
-    if fused_kernels_ok(v, reward, IS, method=method, n_bufs=10):
+    from di_hpc_tpu.ops._backend import VTRACE_NBUFS
+    if fused_kernels_ok(v, reward, IS, method=method, n_bufs=VTRACE_NBUFS):
         from di_hpc_tpu.pallas_kernels.rl_scans import vtrace_returns_adv_pallas
 
         # The kernel derives the three min(IS, clip) planes in VMEM: 5 HBM

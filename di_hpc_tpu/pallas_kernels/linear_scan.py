@@ -44,6 +44,7 @@ def _pick_blk(T: int, B: int) -> int:
 
 def _flat_compose(aa, bb, T: int, reverse: bool):
     blk = aa.shape[1]
+    bw = bb.shape[1]                  # blk, or 1 for row-constant b
     k = 1
     while k < T:
         if reverse:
@@ -51,13 +52,13 @@ def _flat_compose(aa, bb, T: int, reverse: bool):
             a_sh = jnp.concatenate(
                 [aa[k:], jnp.zeros((k, blk), aa.dtype)], axis=0)
             b_sh = jnp.concatenate(
-                [bb[k:], jnp.ones((k, blk), bb.dtype)], axis=0)
+                [bb[k:], jnp.ones((k, bw), bb.dtype)], axis=0)
         else:
             # partner row t-k; identity before the start.
             a_sh = jnp.concatenate(
                 [jnp.zeros((k, blk), aa.dtype), aa[:-k]], axis=0)
             b_sh = jnp.concatenate(
-                [jnp.ones((k, blk), bb.dtype), bb[:-k]], axis=0)
+                [jnp.ones((k, bw), bb.dtype), bb[:-k]], axis=0)
         aa = aa + bb * a_sh
         bb = bb * b_sh
         k *= 2
@@ -69,30 +70,34 @@ _CHUNK_L = 64
 
 def _compose(aa, bb, T: int, reverse: bool):
     """Two-level chunked composition when T splits into 64-row chunks
-    (flat doubling otherwise).  Both this kernel's operands are always
-    full (T, blk) planes, where chunking cuts the dominant shift traffic
-    from log2(T) to log2(64) passes — measured 105.5 vs 131.9us on the
-    same scan inside the vtrace kernel at T=1024, B=4096
-    (bench_results/profile_chunked_scan_r4.py)."""
+    (flat doubling otherwise) — the shared implementation for this generic
+    kernel AND rl_scans' fused kernels.  Chunking cuts the dominant shift
+    traffic from log2(T) to log2(64) passes — measured 105.5 vs 131.9us on
+    this scan inside the vtrace kernel at T=1024, B=4096
+    (bench_results/profile_chunked_scan_r4.py).  ``bb`` may be (T, blk) or
+    (T, 1) (row-constant coefficients — measured neutral there,
+    negative_results.json rowconst_chunked_scan_r4, but supported so the
+    profile scripts can A/B it)."""
     L = _CHUNK_L
     blk = aa.shape[1]
     if T % L or T <= L:
         return _flat_compose(aa, bb, T, reverse)
     C = T // L
     a = aa.reshape(C, L, blk)
-    b = bb.reshape(C, L, blk)
+    bw = bb.shape[1]                  # blk, or 1 for row-constant b
+    b = bb.reshape(C, L, bw)
     k = 1
     while k < L:
         if reverse:
             a_sh = jnp.concatenate(
                 [a[:, k:], jnp.zeros((C, k, blk), a.dtype)], axis=1)
             b_sh = jnp.concatenate(
-                [b[:, k:], jnp.ones((C, k, blk), b.dtype)], axis=1)
+                [b[:, k:], jnp.ones((C, k, bw), b.dtype)], axis=1)
         else:
             a_sh = jnp.concatenate(
                 [jnp.zeros((C, k, blk), a.dtype), a[:, :-k]], axis=1)
             b_sh = jnp.concatenate(
-                [jnp.ones((C, k, blk), b.dtype), b[:, :-k]], axis=1)
+                [jnp.ones((C, k, bw), b.dtype), b[:, :-k]], axis=1)
         a = a + b * a_sh
         b = b * b_sh
         k *= 2

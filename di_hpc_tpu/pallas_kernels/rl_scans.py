@@ -26,6 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from di_hpc_tpu.pallas_kernels import linear_scan as _ls
+from di_hpc_tpu.ops._backend import (ROWCONST_SCAN_NBUFS,
+                                     UPGO_NBUFS, VTRACE_NBUFS)
 
 
 # NOTE on gradients: these kernels are forward-only.  Their outputs are
@@ -52,51 +54,16 @@ def _suffix_scan(aa: jax.Array, bb: jax.Array) -> jax.Array:
     return aa
 
 
-_CHUNK_L = 64
-
-
 def _suffix_scan_full_plane(aa: jax.Array, bb: jax.Array) -> jax.Array:
-    """Suffix composition for FULL-PLANE (T, blk) coefficients, two-level.
-
-    The flat doubling scan shifts BOTH aa and bb for log2(T) passes; for
-    full-plane bb that is the dominant VMEM traffic (the r3 vtrace kernel
-    ran at 75-78% of its stream floor).  Chunking does log2(L) in-chunk
-    passes (vectorized over chunks), a tiny unrolled cross-chunk scan, and
-    one fix-up multiply: measured 105.5 vs 131.9us on the vtrace kernel at
-    T=1024, B=4096 — 97% SoL (bench_results/profile_chunked_scan_r4.py; the
-    r2 retirement of chunking covered only row-constant-b gae, where bb
-    shifts are nearly free and the flat scan is already at floor).
-
-    Falls back to the flat scan when T is not a multiple of the chunk
-    length (tests' odd shapes) or too short to split.
-    """
-    T, blk = aa.shape
-    L = _CHUNK_L
-    if T % L or T <= L:
-        return _suffix_scan(aa, bb)
-    C = T // L
-    a = aa.reshape(C, L, blk)
-    bw = bb.shape[1]                  # blk, or 1 for row-constant b
-    b = bb.reshape(C, L, bw)
-    k = 1
-    while k < L:
-        a_sh = jnp.concatenate([a[:, k:], jnp.zeros((C, k, blk), a.dtype)], axis=1)
-        b_sh = jnp.concatenate([b[:, k:], jnp.ones((C, k, bw), b.dtype)], axis=1)
-        a = a + b * a_sh
-        b = b * b_sh
-        k *= 2
-    # Row 0 of each chunk now holds the whole-chunk composite (A_c, B_c);
-    # cross-chunk suffix scan of C tiny rows gives each chunk its
-    # carry-in-from-the-right.
-    A = a[:, 0]
-    Bc = b[:, 0]
-    carry = jnp.zeros((1, blk), aa.dtype)
-    carries = [carry]
-    for c in range(C - 1, 0, -1):
-        carry = A[c][None] + Bc[c][None] * carry
-        carries.append(carry)
-    carry_in = jnp.concatenate(carries[::-1], axis=0)   # (C, blk)
-    return (a + b * carry_in[:, None, :]).reshape(T, blk)
+    """Suffix composition for FULL-PLANE (T, blk) coefficients: the
+    two-level chunked scheme shared with the generic kernel
+    (linear_scan._compose — one implementation, one chunk length).  For
+    full-plane bb the flat doubling scan's shifts dominate VMEM traffic:
+    chunking measured 105.5 vs 131.9us on the vtrace kernel at T=1024,
+    B=4096 — 97% SoL (bench_results/profile_chunked_scan_r4.py).  The r2
+    retirement of chunking covered only row-constant-b gae, where the flat
+    scan (_suffix_scan) is already at floor and stays."""
+    return _ls._compose(aa, bb, aa.shape[0], reverse=True)
 
 
 def _pick_blk(T: int, B: int, n_bufs: int) -> int:
@@ -146,7 +113,7 @@ def _gae_fused_impl(value: jax.Array, reward: jax.Array,
 
     T, B = reward.shape
     denom = gae_denominators(T, lambda_, dtype=reward.dtype).reshape(T, 1)
-    blk = _pick_blk(T, B, 3)
+    blk = _pick_blk(T, B, ROWCONST_SCAN_NBUFS)
     kernel = functools.partial(_gae_kernel, gamma=gamma, lambda_=lambda_, T=T)
     return pl.pallas_call(
         kernel,
@@ -209,7 +176,7 @@ lambda_returns_pallas.defvjp(
 def _lambda_returns_impl(value: jax.Array, reward: jax.Array,
                          gamma: float, lambda_: float) -> jax.Array:
     T, B = reward.shape
-    blk = _pick_blk(T, B, 3)
+    blk = _pick_blk(T, B, ROWCONST_SCAN_NBUFS)
     kernel = functools.partial(_lret_kernel, gamma=gamma, lambda_=lambda_, T=T)
     return pl.pallas_call(
         kernel,
@@ -263,10 +230,15 @@ def _tdl_err_kernel(value_ref, reward_ref, out_ref, *, gamma: float,
     out_ref[:] = ret - v[:-1]
 
 
-def _tdl_call(kernel_fn, out_shape, out_spec, value, reward, gamma, lambda_,
+def _tdl_call(kernel_fn, make_out, value, reward, gamma, lambda_,
               **kernel_kw):
+    """``make_out(blk) -> (out_shape, out_spec)`` so the output block width
+    is derived from the SAME blk as the grid and input specs (a second
+    independent _pick_blk call at the call sites could silently diverge if
+    the VMEM charge ever changes)."""
     T, B = reward.shape
-    blk = _pick_blk(T, B, 3)
+    blk = _pick_blk(T, B, ROWCONST_SCAN_NBUFS)
+    out_shape, out_spec = make_out(blk)
     kernel = functools.partial(kernel_fn, gamma=gamma, lambda_=lambda_, T=T,
                                **kernel_kw)
     return pl.pallas_call(
@@ -292,9 +264,9 @@ def _tdl_loss_impl(value, reward, gamma: float, lambda_: float):
     T, B = reward.shape
     parts = _tdl_call(
         _tdl_loss_kernel,
-        jax.ShapeDtypeStruct((1, B), jnp.float32),
-        pl.BlockSpec((1, _pick_blk(T, B, 3)), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
+        lambda blk: (jax.ShapeDtypeStruct((1, B), jnp.float32),
+                     pl.BlockSpec((1, blk), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)),
         value, reward, gamma, lambda_, B=B)
     return 0.5 * jnp.sum(parts) / (T * B)
 
@@ -304,9 +276,9 @@ def _tdl_err_impl(value, reward, gamma: float, lambda_: float):
     T, B = reward.shape
     return _tdl_call(
         _tdl_err_kernel,
-        jax.ShapeDtypeStruct((T, B), reward.dtype),
-        pl.BlockSpec((T, _pick_blk(T, B, 3)), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
+        lambda blk: (jax.ShapeDtypeStruct((T, B), reward.dtype),
+                     pl.BlockSpec((T, blk), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)),
         value, reward, gamma, lambda_)
 
 
@@ -386,7 +358,7 @@ def _upgo_adv_impl(rhos, reward, value):
     T, B = reward.shape
     # Full-plane binary coefficients: same scan-temporary charge story as
     # the vtrace kernel (see _vtrace_returns_adv_impl) => n_bufs=10.
-    blk = _pick_blk(T, B, 10)
+    blk = _pick_blk(T, B, UPGO_NBUFS)
     kernel = functools.partial(_upgo_kernel, T=T)
     tb = lambda i: (0, i)
     spec = pl.BlockSpec((T, blk), tb, memory_space=pltpu.VMEM)
@@ -465,9 +437,9 @@ def _vtrace_returns_adv_impl(is_weights, reward, value, gamma: float,
     # in-kernel rhos/cs derivations.  At T=1024, B=4096 a 7-ios charge
     # picked blk=256 and Mosaic measured 18MB scoped VMEM against the 16MB
     # limit (r3 prewarm); 10 ios picks blk=128 and leaves the T=128 stages'
-    # blk=512 choice untouched.  Keep ops/vtrace.py's fused_kernels_ok
-    # n_bufs in sync with this charge.
-    blk = _pick_blk(T, B, 10)
+    # blk=512 choice untouched.  The charge constant lives in ops/_backend
+    # so the fused_kernels_ok gate uses the identical number.
+    blk = _pick_blk(T, B, VTRACE_NBUFS)
     kernel = functools.partial(_vtrace_kernel, gamma=gamma, lambda_=lambda_,
                                rho_clip=rho_clip, c_clip=c_clip,
                                pg_clip=pg_clip, T=T)

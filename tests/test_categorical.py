@@ -96,6 +96,29 @@ def test_extreme_and_degenerate_inputs(key):
     np.testing.assert_allclose(ent1, 0.0, atol=1e-6)
 
 
+def test_masked_minus_inf_logits():
+    """The standard invalid-action mask (-inf logits) must not poison the
+    online-softmax monoid: two -inf DATA elements combining in the TPU tree
+    reduce would give exp(-inf - (-inf)) = nan without the finite clamp."""
+    xm = jnp.array([[1.0, -jnp.inf, -jnp.inf, 0.0],
+                    [-jnp.inf, 2.0, -jnp.inf, -jnp.inf]])
+    act = jnp.array([0, 1])
+    lp, ent = logp_entropy(xm, act)
+    ref = jnp.log(jax.nn.softmax(jnp.array([[1.0, -1e30, -1e30, 0.0],
+                                            [-1e30, 2.0, -1e30, -1e30]]),
+                                 axis=-1))
+    assert bool(jnp.all(jnp.isfinite(lp))) and bool(jnp.all(jnp.isfinite(ent)))
+    np.testing.assert_allclose(lp, jnp.array([ref[0, 0], ref[1, 1]]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ent[1], 0.0, atol=1e-5)  # one valid action
+    # a MASKED action's log-prob is astronomically negative (exp == 0)
+    lp_masked = logp(xm, jnp.array([1, 0]))
+    assert bool(jnp.all(jnp.isfinite(lp_masked)))
+    assert float(jnp.max(lp_masked)) < -1e30
+    g = jax.grad(lambda x: jnp.sum(logp_entropy(x, act)[0]))(xm)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
 def test_jit_vmap_composability(key):
     B, N = 16, 9
     k1, k2 = jax.random.split(key)
