@@ -69,13 +69,17 @@ def _reduce_stats(x: jax.Array, actions: jax.Array, with_ent: bool):
     # combining two -inf accumulators evaluates exp(-inf - (-inf)) = nan
     # (observed on real hardware at small/odd shapes, e.g. (1, 3)); (b) the
     # same combine fires for two -inf DATA elements, i.e. the standard
-    # masked-invalid-action idiom logits=[x, -inf, ...].  Clamping to
-    # f32-min preserves semantics: a clamped masked logit still contributes
-    # exp(min - M) = 0 to every sum and yields an astronomically negative
-    # logp (exp(logp) = 0), while f32-min is an exact monoid identity
-    # (max(min, m) = m and 0 * exp(min - m) = 0 for every finite m).
+    # masked-invalid-action idiom logits=[x, -inf, ...].  Masked data is
+    # clamped to -1e9, NOT f32-min: when two all-masked partials merge with
+    # M equal to the clamp, their sx-channel adds the raw clamped values
+    # (e = exp(0) = 1), and 2 * f32-min overflows to -inf whose later
+    # 0-weighted merge is 0 * -inf = nan (seen on real TPU); -1e9 cannot
+    # overflow, still underflows every exp (exp(-1e9 - M) = 0, and a masked
+    # action's logp = -1e9 - lse has exp == 0).  The reduce INIT stays
+    # f32-min — a strict lower bound for all (clamped) data, and an exact
+    # monoid identity (max(min, m) = m; 0 * exp(min - m) = 0).
     ninf = jnp.finfo(jnp.float32).min
-    x = jnp.maximum(x, ninf)
+    x = jnp.maximum(x, -1e9)
     xa_arr = _onehot_x(x, actions)
     ones = jnp.ones_like(x)
     dims = (x.ndim - 1,)

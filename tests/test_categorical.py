@@ -108,13 +108,16 @@ def test_masked_minus_inf_logits():
                                             [-1e30, 2.0, -1e30, -1e30]]),
                                  axis=-1))
     assert bool(jnp.all(jnp.isfinite(lp))) and bool(jnp.all(jnp.isfinite(ent)))
+    # atol covers the TPU tree-reduce's in-combiner exp accuracy (~1.6e-4
+    # abs vs the max-then-sum form; ops/categorical.py module docstring).
     np.testing.assert_allclose(lp, jnp.array([ref[0, 0], ref[1, 1]]),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(ent[1], 0.0, atol=1e-5)  # one valid action
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(ent[1], 0.0, atol=2e-4)  # one valid action
     # a MASKED action's log-prob is astronomically negative (exp == 0)
     lp_masked = logp(xm, jnp.array([1, 0]))
     assert bool(jnp.all(jnp.isfinite(lp_masked)))
-    assert float(jnp.max(lp_masked)) < -1e30
+    assert float(jnp.max(lp_masked)) < -1e8
+    assert float(jnp.max(jnp.exp(lp_masked))) == 0.0
     g = jax.grad(lambda x: jnp.sum(logp_entropy(x, act)[0]))(xm)
     assert bool(jnp.all(jnp.isfinite(g)))
 
