@@ -19,19 +19,26 @@ extern "C" {
 
 // Ragged pack: copy n_src tensors (row-major, float32) into a padded dense
 // batch and write the validity mask.  Shapes are (n_src, ndim) row-major;
-// out/mask are (n_src, *max_shape) pre-filled with the pad value.  This is
-// the host data-plane hot loop of the padding subsystem (the reference does
-// these copies with a per-tensor CUDA kernel + device pointer tables,
+// out/mask are (n_src, *max_shape) UNINITIALIZED — this routine writes every
+// element exactly once (valid data, pad fill, and mask), so callers pass
+// np.empty, not np.full.  The single-touch contract is the point: the r4
+// variant required a Python-side np.full prefill of both arrays and then
+// re-wrote the valid regions (plus a scalar per-element mask loop), which
+// cost one extra full pass over 2x the payload and lost to numpy
+// slice-assigns at the 2D bench config (1415 vs 1130 us, driver r4).  This
+// is the host data-plane hot loop of the padding subsystem (the reference
+// does these copies with a per-tensor CUDA kernel + device pointer tables,
 // src/rl_utils/padding.cu:111-229; on TPU the pack happens host-side before
 // one transfer).
 void pack_padded_f32(const float** srcs, const int64_t* shapes, int64_t n_src,
-                     int64_t ndim, const int64_t* max_shape,
+                     int64_t ndim, const int64_t* max_shape, float value,
                      float* out, float* mask) {
     // Row-major strides of the padded (per-sample) block.
     std::vector<int64_t> stride(ndim);
     int64_t s = 1;
     for (int64_t d = ndim - 1; d >= 0; --d) { stride[d] = s; s *= max_shape[d]; }
     const int64_t sample_sz = s;
+    const int64_t max_inner = max_shape[ndim - 1];
 
     for (int64_t i = 0; i < n_src; ++i) {
         const int64_t* shp = shapes + i * ndim;
@@ -39,17 +46,33 @@ void pack_padded_f32(const float** srcs, const int64_t* shapes, int64_t n_src,
         float* dst = out + i * sample_sz;
         float* msk = mask + i * sample_sz;
         const int64_t inner = shp[ndim - 1];
-        // Iterate over all outer index tuples of the source tensor.
-        int64_t outer = 1;
-        for (int64_t d = 0; d < ndim - 1; ++d) outer *= shp[d];
+        // Walk all outer index tuples of the PADDED block in row-major
+        // order (dst/msk rows are contiguous), emitting each padded row in
+        // one pass: a memcpy of the valid prefix + a fill of the tail when
+        // the tuple lies inside the source extent, or a full-row fill when
+        // it lies in the padding.
+        int64_t max_outer = 1;
+        for (int64_t d = 0; d < ndim - 1; ++d) max_outer *= max_shape[d];
         std::vector<int64_t> idx(ndim - 1, 0);
-        for (int64_t o = 0; o < outer; ++o) {
-            int64_t off = 0;
-            for (int64_t d = 0; d < ndim - 1; ++d) off += idx[d] * stride[d];
-            std::memcpy(dst + off, src + o * inner, inner * sizeof(float));
-            for (int64_t k = 0; k < inner; ++k) msk[off + k] = 1.0f;
+        int64_t src_off = 0;
+        for (int64_t o = 0; o < max_outer; ++o) {
+            float* drow = dst + o * max_inner;
+            float* mrow = msk + o * max_inner;
+            bool in_src = true;
+            for (int64_t d = 0; d < ndim - 1; ++d)
+                in_src = in_src && (idx[d] < shp[d]);
+            if (in_src) {
+                std::memcpy(drow, src + src_off, inner * sizeof(float));
+                std::fill(drow + inner, drow + max_inner, value);
+                std::fill(mrow, mrow + inner, 1.0f);
+                std::fill(mrow + inner, mrow + max_inner, value);
+                src_off += inner;
+            } else {
+                std::fill(drow, drow + max_inner, value);
+                std::fill(mrow, mrow + max_inner, value);
+            }
             for (int64_t d = ndim - 2; d >= 0; --d) {
-                if (++idx[d] < shp[d]) break;
+                if (++idx[d] < max_shape[d]) break;
                 idx[d] = 0;
             }
         }

@@ -27,29 +27,52 @@ from di_hpc_tpu.origin.padding import (
     cum,
 )
 from di_hpc_tpu.utils.native import (
+    get_native_ext,
     native_oracle_split_group,
     native_pack_padded_f32,
 )
 
 
-# Below ~100KB of payload the C++ pack's per-call overhead (per-tensor
-# contiguity checks + ctypes pointer marshalling) exceeds what it saves
-# over numpy slice-assigns: at the reference 1D config (64 rows x ~80
-# floats, 20KB) the native path measured 0.73x the oracle while every
-# >=700KB config wins 1.26-2.40x (bench padding_ops rows, r4).
-_NATIVE_PACK_MIN_ELEMS = 25_600
+# Gate for the LEGACY ctypes pack only (used when the CPython extension is
+# unavailable): its per-call Python marshalling (~65-165us for 64 arrays,
+# measured r5) exceeds what the C copies save below ~100KB of payload.  The
+# preferred extension path (csrc/hostcore.c) has no Python-side per-array
+# work and wins at every bench config including the 20KB 1D one, so it runs
+# ungated.
+_CTYPES_PACK_MIN_ELEMS = 25_600
 
 
 def _pad_nd_fast(x, value, ndim):
-    """Padded-batch assembly with the C++ ragged-pack data plane for float32
-    inputs (one memcpy per contiguous row instead of a Python loop); falls
-    back to the Python/numpy oracle for non-f32 input or payloads small
-    enough that per-call marshalling dominates."""
+    """Padded-batch assembly with the native ragged-pack data plane for
+    float32 inputs; falls back to the Python/numpy oracle when no native
+    path applies (non-f32/non-contiguous input, toolchain absent).
+
+    Preferred path: the CPython extension's single-touch pack (csrc/
+    hostcore.c), tried directly on the raw inputs with zero Python-side
+    per-array checks — the extension itself rejects anything that is not a
+    contiguous float32 buffer of the right rank, and the exception routes
+    us to the fallback, so correctness never depends on the fast path
+    accepting an input (non-f32 inputs keep their oracle dtype semantics).
+    """
     import jax.numpy as jnp
 
+    ext = get_native_ext()
+    if ext is not None:
+        try:
+            shapes = [tuple(t.shape) for t in x]
+            if x and all(len(s) == ndim for s in shapes):
+                max_shape = [max(d) for d in zip(*shapes)]
+                out = np.empty((len(x), *max_shape), dtype=np.float32)
+                mask = np.empty((len(x), *max_shape), dtype=np.float32)
+                ext.pack_padded(x, out, mask, float(value))
+                return jnp.asarray(out), jnp.asarray(mask), shapes
+        except (AttributeError, ValueError, TypeError, BufferError):
+            pass
+
     shapes = [tuple(t.shape) for t in x]
-    if (all(len(s) == ndim for s in shapes)
-            and sum(cum(s) for s in shapes) >= _NATIVE_PACK_MIN_ELEMS
+    if (ext is None
+            and all(len(s) == ndim for s in shapes)
+            and sum(cum(s) for s in shapes) >= _CTYPES_PACK_MIN_ELEMS
             and all(np.asarray(t).dtype == np.float32 for t in x)):
         max_shape = [max(d) for d in zip(*shapes)]
         res = native_pack_padded_f32([np.asarray(t) for t in x], max_shape, value)

@@ -51,7 +51,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.pack_padded_f32.argtypes = [
         ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_float,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
     return lib
@@ -70,11 +70,82 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+_ext = None
+_ext_tried = False
+
+
+def _build_and_import_ext():
+    """Compile and import the CPython extension (csrc/hostcore.c).
+
+    A C extension rather than ctypes because the pack's fixed cost is the
+    per-array Python marshalling, not the copies: pushing the 64-array
+    pointer walk into PySequence_Fast + PyObject_GetBuffer cuts ~65-165us of
+    per-call overhead (measured r5), which is the whole budget at the 1D
+    bench config.  Linked against nothing (buffer protocol only); symbols
+    resolve from the host interpreter at import.
+    """
+    import importlib.machinery
+    import importlib.util
+    import sysconfig
+
+    src = _CSRC / "hostcore.c"
+    if not src.exists():
+        return None
+    _BUILD_DIR.mkdir(exist_ok=True)
+    so = _BUILD_DIR / "_dihpc_hostcore.so"
+    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        inc = sysconfig.get_paths()["include"]
+        cmd = ["gcc", "-O2", "-shared", "-fPIC", f"-I{inc}",
+               str(src), "-o", str(so)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        loader = importlib.machinery.ExtensionFileLoader(
+            "_dihpc_hostcore", str(so))
+        spec = importlib.util.spec_from_loader("_dihpc_hostcore", loader)
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+        return mod
+    except Exception:
+        return None
+
+
+def get_native_ext():
+    """Returns the imported hostcore extension module, building on first
+    call; None if the toolchain is unavailable (callers fall back)."""
+    global _ext, _ext_tried
+    if _ext is not None or _ext_tried:
+        return _ext
+    with _lock:
+        if not _ext_tried:
+            _ext = _build_and_import_ext()
+            _ext_tried = True
+    return _ext
+
+
 def native_pack_padded_f32(srcs, max_shape, value: float = 0.0):
-    """C++ ragged pack of a list of float32 numpy arrays (same ndim) into a
-    padded batch + mask; returns (out, mask) numpy arrays or None when the
-    native lib is unavailable or inputs do not qualify."""
+    """Native ragged pack of a list of float32 numpy arrays (same ndim) into
+    a padded batch + mask; returns (out, mask) numpy arrays or None when no
+    native path is available or inputs do not qualify.
+
+    Prefers the zero-marshalling CPython extension (csrc/hostcore.c); falls
+    back to the ctypes binding of csrc/bucketing.cpp, then to None (callers
+    use the numpy oracle)."""
     import numpy as np
+
+    ext = get_native_ext()
+    if ext is not None and srcs:
+        n = len(srcs)
+        # np.empty, not np.full: the pack writes every element exactly once.
+        out = np.empty((n, *max_shape), dtype=np.float32)
+        mask = np.empty((n, *max_shape), dtype=np.float32)
+        try:
+            ext.pack_padded(srcs, out, mask, float(value))
+            return out, mask
+        except (ValueError, TypeError, BufferError):
+            pass  # non-f32 / non-contiguous input: fall through
 
     lib = get_native_lib()
     if lib is None or not srcs:
@@ -87,15 +158,18 @@ def native_pack_padded_f32(srcs, max_shape, value: float = 0.0):
             return None
         arrs.append(a)
     n = len(arrs)
-    out = np.full((n, *max_shape), value, dtype=np.float32)
-    mask = np.full((n, *max_shape), value, dtype=np.float32)
+    # np.empty, not np.full: the C++ pack writes every element exactly once
+    # (valid data + pad fill + mask), so a Python-side prefill would be a
+    # wasted extra pass over both arrays (the r4 regression).
+    out = np.empty((n, *max_shape), dtype=np.float32)
+    mask = np.empty((n, *max_shape), dtype=np.float32)
     ptrs = (ctypes.POINTER(ctypes.c_float) * n)(
         *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for a in arrs])
     shapes = (ctypes.c_int64 * (n * ndim))(
         *[d for a in arrs for d in a.shape])
     maxs = (ctypes.c_int64 * ndim)(*max_shape)
     lib.pack_padded_f32(
-        ptrs, shapes, n, ndim, maxs,
+        ptrs, shapes, n, ndim, maxs, ctypes.c_float(value),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
