@@ -124,6 +124,7 @@ _ALL_STAGES = [
     "gae_T1024_B4096",
     "lstm_s64_b3_i1792_h384_l3",
     "scatter_add_grad_B256_M256",
+    "scatter_cover_grad_B256_M256",
     "upgo_T128_B512_N128",
     "td_lambda_T1024_B4096",
     "vtrace_grad_T128_B512_N128",
@@ -219,8 +220,19 @@ def _emit_result_and_exit(exit_code=0):
     except OSError as e:  # never let the sidecar write block the stdout line
         _log(f"  [warn] could not write bench_results/last_run.json: {e}")
     # Self-test the driver's actual parse before printing: the line must
-    # round-trip from its own 2000-char tail.
-    assert json.loads(line[-2000:])["metric"] == "fused_vs_naive_geomean_speedup"
+    # round-trip from its own 2000-char tail.  On failure fall back to a
+    # minimal compact-fields-only line rather than raising — an assert here
+    # would leave the driver with NO stdout line at all (and, from the
+    # watchdog thread, a still-running process), strictly worse than a long
+    # line (r4 advisor finding).
+    try:
+        ok = json.loads(line[-2000:])["metric"] == "fused_vs_naive_geomean_speedup"
+    except Exception:
+        ok = False
+    if not ok:
+        line = json.dumps({k: full[k] for k in
+                           ("metric", "value", "unit", "vs_baseline")},
+                          separators=(",", ":"))
     print(line, flush=True)
     if exit_code is not None:
         os._exit(exit_code)
@@ -372,6 +384,13 @@ def bench_op(name, naive_step, fused_step, K=1000, n=3, bytes_mb=None,
             out["chain_floor_us"] = chain_floor_us
         out["floor_us"] = floor_us
         out["pct_sol"] = 100.0 * floor_us / out["fused_us"]
+        # Self-explaining marker for pct_sol > 100 rows (r4 VERDICT weak #5):
+        # the analytic floor assumes every byte round-trips HBM, so beating
+        # it means the working set stayed cache-resident (CMEM/VMEM) and the
+        # floor does NOT bind — a cache effect, not a measurement error.
+        out["floor_binds"] = bool(out["pct_sol"] <= 100.0)
+        if not out["floor_binds"]:
+            out["floor_note"] = "cache-resident: working set fits on-chip, HBM floor does not bind"
         _log(f"  roofline: {bytes_mb or 0:.1f} MB / {flops_g or 0:.2f} GF -> "
              f"floor {floor_us:.1f}us ({out['pct_sol']:.0f}% of SoL)")
     return out
@@ -612,6 +631,30 @@ def main():
         est_s=45, K=300, bytes_mb=scat_mb, args=(sc_x, sc_loc),
     )
 
+    # Cover-mode evidence row (r4 VERDICT missing #2): the reference ships
+    # and tests both modes (scatter_connection_kernel.h:11-89); cover is a
+    # different cost shape (winner-select + one-hot einsum vs plain
+    # accumulate).  Same fwd+grad traffic floor as add.
+    def scatter_cover_step(fn):
+        def step(carry, a, init=False):
+            sc_x_a, sc_loc_a = a
+
+            def loss(x_):
+                return jnp.sum(fn(x_, (Hs, Ws), sc_loc_a, "cover") ** 2)
+
+            x_, = _dep(None if init else carry, sc_x_a)
+            v, g = jax.value_and_grad(loss)(x_)
+            return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
+        return step
+
+    run_stage(
+        "scatter_cover_grad_B256_M256", "scatter cover+grad B=M=N=256",
+        scatter_cover_step(lambda x, s, l, m: _scat_naive(x, s, l, m)),
+        scatter_cover_step(_scat_fused),
+        est_s=45, K=300, bytes_mb=scat_mb, in_geomean=0,
+        args=(sc_x, sc_loc),
+    )
+
     # ----- upgo + vtrace grad at the reference shape scaled to B=512 -----
     Tv, Bv, Nv = 128, 512, 128
     ks = jax.random.split(jax.random.PRNGKey(1), 5)
@@ -721,7 +764,14 @@ def main():
             batch = TrainBatch(obs_, tb_a.actions, rew_, blog_)
             lval, grads = jax.value_and_grad(loss_fn)(params_a, batch)
             upd, _ = optimizer.update(grads, opt_a, params_a)
-            return lval * 1e-12 + jnp.sum(upd.embed_b) * 1e-12 + 1.0
+            new_p = optax.apply_updates(params_a, upd)
+            # Depend on EVERY updated leaf: tying only one (r4 did embed_b)
+            # lets XLA dead-code-eliminate the weight-grad GEMMs and the
+            # adam update of every other parameter — the r4 step rows
+            # under-measured both sides (found r5, profile_mp_decomp_r5.py).
+            psum = sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree.leaves(new_p))
+            return lval * 1e-12 + psum * 1e-12 + 1.0
         return step
 
     # MXU compute floor: fwd GEMM flops (embed + per-layer x@Wx and h@Wh +
@@ -794,8 +844,10 @@ def main():
                                      tb_a.rewards, tb_a.behaviour_logits)
             batch = TrainBatch(obs_, tb_a.actions, rew_, blog_)
             p2, _o2, metrics = step_fn(params_a, opt_a, batch)
-            return (metrics["total_loss"] * 1e-12
-                    + jnp.sum(p2.embed_b) * 1e-12 + 1.0)
+            # all-leaves dependence: see train_step_factory's step.
+            psum = sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree.leaves(p2))
+            return metrics["total_loss"] * 1e-12 + psum * 1e-12 + 1.0
         return step
 
     run_stage(

@@ -18,6 +18,7 @@ if [ ${#STAGES[@]} -eq 0 ]; then
   STAGES=(
     ppo_grad_B4096_N128 ppo_fast_grad_B4096_N128 dntd_B128_N128_atoms51
     gae_T1024_B4096 lstm_s64_b3_i1792_h384_l3 scatter_add_grad_B256_M256
+    scatter_cover_grad_B256_M256
     upgo_T128_B512_N128 td_lambda_T1024_B4096 vtrace_grad_T128_B512_N128
     train_step_T32_B256_h512 vtrace_T1024_B4096_N32
     train_step_bf16_T32_B256_h512

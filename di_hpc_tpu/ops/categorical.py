@@ -119,7 +119,15 @@ def _fwd_math(logits: jax.Array, actions: jax.Array):
 @jax.custom_vjp
 def logp_entropy(logits: jax.Array, actions: jax.Array):
     """(..., N) logits + (...) int actions -> (logp_action, entropy), each
-    shaped (...).  Differentiable w.r.t. logits (stash-free custom VJP)."""
+    shaped (...).  Differentiable w.r.t. logits (stash-free custom VJP).
+
+    Masked-logit contract: logits <= -1e9 (including -inf) are treated as
+    masked-invalid.  Their probability is exactly 0 in every statistic, but
+    the logp of a MASKED taken action is returned FINITE (~-1e9 - lse), not
+    -inf as log_softmax would give — consumers must not rely on -inf
+    propagation to detect invalid-action sampling (check the action against
+    the mask instead).  Gradients w.r.t. a masked taken action's logit are
+    0, matching the true derivative through the forward's clamp."""
     lp, ent, _ = _fwd_math(logits, actions)
     return lp, ent
 
@@ -144,8 +152,12 @@ def _le_bwd(res, g):
     a = actions.astype(jnp.int32)[..., None]
     glp = glp[..., None].astype(jnp.float32)
     gent = gent[..., None].astype(jnp.float32)
-    # d(logp_a)/dx = onehot - p;  dH/dx_j = -p_j * (logp_j + H)
-    dx = jnp.where(col == a, glp, 0.0) - p * (
+    # d(logp_a)/dx = onehot - p;  dH/dx_j = -p_j * (logp_j + H).  The onehot
+    # term is zeroed where the TAKEN action's logit is masked (x < -1e9):
+    # the forward clamps those logits via maximum(x, -1e9), whose true
+    # derivative is 0 below the clamp (r4 advisor finding — the raw onehot
+    # would emit glp at a masked position).
+    dx = jnp.where((col == a) & (x >= -1e9), glp, 0.0) - p * (
         glp + gent * (logp_safe + ent[..., None]))
     return dx.astype(logits.dtype), None
 
@@ -163,7 +175,12 @@ def _lp_math(logits: jax.Array, actions: jax.Array):
 def logp(logits: jax.Array, actions: jax.Array) -> jax.Array:
     """Log-prob of the taken action only (drops the entropy statistic —
     used for the behaviour policy in V-trace, whose entropy is never
-    needed)."""
+    needed).
+
+    Same masked-logit contract as logp_entropy: logits <= -1e9 (incl. -inf)
+    have probability exactly 0, but a masked TAKEN action's logp comes back
+    finite (~-1e9 - lse), not -inf; gradients w.r.t. a masked taken logit
+    are 0."""
     return _lp_math(logits, actions)[0]
 
 
@@ -179,7 +196,8 @@ def _lp_bwd(res, g):
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     a = actions.astype(jnp.int32)[..., None]
     glp = g[..., None].astype(jnp.float32)
-    dx = jnp.where(col == a, glp, 0.0) - p * glp
+    # Masked taken action (x < -1e9): onehot term zeroed, as in _le_bwd.
+    dx = jnp.where((col == a) & (x >= -1e9), glp, 0.0) - p * glp
     return dx.astype(logits.dtype), None
 
 

@@ -122,6 +122,27 @@ def test_masked_minus_inf_logits():
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+def test_masked_taken_action_zero_grad():
+    """Gradient w.r.t. a MASKED taken action's logit is 0: the forward
+    clamps masked logits via maximum(x, -1e9), whose derivative is 0 below
+    the clamp (r4 advisor finding — the onehot term used to emit glp
+    there)."""
+    xm = jnp.array([[1.0, -jnp.inf, 0.5, 0.0],
+                    [-1e12, 2.0, -jnp.inf, 1.0]])
+    act_masked = jnp.array([1, 0])  # both point at masked logits
+    for fn in (lambda x: jnp.sum(logp_entropy(x, act_masked)[0]),
+               lambda x: jnp.sum(logp(x, act_masked))):
+        g = jax.grad(fn)(xm)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        # masked taken positions: exactly zero (onehot zeroed AND p == 0)
+        assert float(g[0, 1]) == 0.0 and float(g[1, 0]) == 0.0
+        # other masked positions stay zero too (p == 0)
+        assert float(g[1, 2]) == 0.0
+    # an UNMASKED taken action still gets the onehot term
+    g = jax.grad(lambda x: jnp.sum(logp(x, jnp.array([0, 1]))))(xm)
+    assert float(g[0, 0]) > 0.4  # 1 - p_0 with p_0 ~ 0.51
+
+
 def test_jit_vmap_composability(key):
     B, N = 16, 9
     k1, k2 = jax.random.split(key)
