@@ -131,6 +131,7 @@ _ALL_STAGES = [
     "train_step_T32_B256_h512",
     "vtrace_T1024_B4096_N32",
     "train_step_bf16_T32_B256_h512",
+    "train_step_bf16_T64_B1024_h128",
     "padding_ops",
     "actor_critic_ops",
     "td_point_ops",
@@ -855,6 +856,47 @@ def main():
         mp_step_factory(None), mp_step_factory(jnp.bfloat16),
         est_s=100, K=60, n=3, in_geomean=0,
         args=(params0, tb, opt0),
+    )
+
+    # ----- mixed precision where bandwidth BINDS (r5 adjudication,
+    # profile_mp_decomp_r5.py): at H=512 the LSTM is MXU-bound (MXU:HBM
+    # ~4:1) and ambient-precision f32 already runs the same single-pass
+    # bf16 MXU work as bf16 streams, so the H=512 row can only show the
+    # non-binding stream share (~1.12x).  At H=128 the ratio flips and
+    # halved bf16 streams genuinely pay: 1.59x measured end-to-end. -----
+    cfg_sh = ActorCriticConfig(obs_dim=256, hidden_size=128, num_layers=2,
+                               action_dim=64)
+    Tsh, Bsh = 64, 1024
+    ksh = jax.random.split(jax.random.PRNGKey(14), 5)
+    params_sh = init_actor_critic(ksh[0], cfg_sh)
+    tb_sh = TrainBatch(
+        obs=jax.random.normal(ksh[1], (Tsh + 1, Bsh, cfg_sh.obs_dim)),
+        actions=jax.random.randint(ksh[2], (Tsh, Bsh), 0, cfg_sh.action_dim),
+        rewards=jax.random.normal(ksh[3], (Tsh, Bsh)),
+        behaviour_logits=jax.random.normal(ksh[4],
+                                           (Tsh, Bsh, cfg_sh.action_dim)),
+    )
+    opt_sh = optimizer.init(params_sh)
+
+    def mp_smallh_factory(dtype):
+        step_fn = make_train_step(cfg_sh, optimizer, compute_dtype=dtype)
+
+        def step(carry, a, init=False):
+            params_a, tb_a, opt_a = a
+            obs_, rew_, blog_ = _dep(None if init else carry, tb_a.obs,
+                                     tb_a.rewards, tb_a.behaviour_logits)
+            batch = TrainBatch(obs_, tb_a.actions, rew_, blog_)
+            p2, _o2, metrics = step_fn(params_a, opt_a, batch)
+            psum = sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree.leaves(p2))
+            return metrics["total_loss"] * 1e-12 + psum * 1e-12 + 1.0
+        return step
+
+    run_stage(
+        "train_step_bf16_T64_B1024_h128", "train step f32 vs bf16 (H=128)",
+        mp_smallh_factory(None), mp_smallh_factory(jnp.bfloat16),
+        est_s=100, K=60, n=3, in_geomean=0,
+        args=(params_sh, tb_sh, opt_sh),
     )
 
     def _padding_ops():

@@ -21,7 +21,7 @@ if [ ${#STAGES[@]} -eq 0 ]; then
     scatter_cover_grad_B256_M256
     upgo_T128_B512_N128 td_lambda_T1024_B4096 vtrace_grad_T128_B512_N128
     train_step_T32_B256_h512 vtrace_T1024_B4096_N32
-    train_step_bf16_T32_B256_h512
+    train_step_bf16_T32_B256_h512 train_step_bf16_T64_B1024_h128
     padding_ops actor_critic_ops td_point_ops
   )
 fi

@@ -188,9 +188,14 @@ def decomp(T, B, L, tag, H=512, probe_precision=False):
 
 
 if __name__ == "__main__":
-    decomp(32, 256, 2, "bench config", probe_precision=True)
-    decomp(64, 256, 3, "deeper/longer (LSTM-dominated)")
-    # Bandwidth-bound candidate: at H=128 the layer's MXU:HBM ratio drops
-    # to ~1 (intensity ~2H flops/byte), so halved bf16 streams should
-    # genuinely pay here if anywhere.
-    decomp(64, 1024, 2, "small-H bandwidth-bound candidate", H=128)
+    import sys
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "bench"):
+        decomp(32, 256, 2, "bench config", probe_precision=True)
+    if which in ("all", "deep"):
+        decomp(64, 256, 3, "deeper/longer (LSTM-dominated)")
+    if which in ("all", "smallh"):
+        # Bandwidth-bound candidate: at H=128 the layer's MXU:HBM ratio
+        # drops to ~1 (intensity ~2H flops/byte), so halved bf16 streams
+        # should genuinely pay here if anywhere.
+        decomp(64, 1024, 2, "small-H bandwidth-bound candidate", H=128)

@@ -51,11 +51,29 @@ def vtrace_error(
 
     v = jax.lax.stop_gradient(value)
     from di_hpc_tpu.ops._backend import VTRACE_NBUFS
+    if (weight is None
+            and fused_kernels_ok(v, reward, IS, method=method,
+                                 n_bufs=VTRACE_NBUFS)):
+        from di_hpc_tpu.pallas_kernels.rl_scans import vtrace_losses_pallas
+
+        # Unit-weight fast path: recurrence + clips + BOTH loss reductions
+        # in one kernel — the (T, B) returns/advantage planes never touch
+        # HBM (the composed r4 stage spent ~300us materializing them
+        # between the head and the loss epilogue; adjudicated in
+        # bench_results/profile_vtrace_compose_r5.py).  The entropy mean
+        # stays outside: its producer is the head fusion, so XLA reduces it
+        # without materializing the (T, B) entropy plane.
+        pg_loss, value_loss = vtrace_losses_pallas(
+            IS, logp_target, reward, value, gamma, lambda_,
+            rho_clip_ratio, c_clip_ratio, rho_pg_clip_ratio)
+        entropy_loss = jnp.mean(entropy)
+        return vtrace_loss(pg_loss, value_loss, entropy_loss)
     if fused_kernels_ok(v, reward, IS, method=method, n_bufs=VTRACE_NBUFS):
         from di_hpc_tpu.pallas_kernels.rl_scans import vtrace_returns_adv_pallas
 
-        # The kernel derives the three min(IS, clip) planes in VMEM: 5 HBM
-        # streams instead of 7 plus the three spared plane materializations.
+        # Weighted path: the kernel derives the three min(IS, clip) planes
+        # in VMEM (5 HBM streams instead of 7) and the weighted losses run
+        # outside.
         return_, adv = vtrace_returns_adv_pallas(
             IS, reward, v, gamma, lambda_,
             rho_clip_ratio, c_clip_ratio, rho_pg_clip_ratio)
