@@ -52,15 +52,18 @@ def upgo_loss(
     rh = jax.lax.stop_gradient(rhos)
     from di_hpc_tpu.ops._backend import UPGO_NBUFS
     if fused_kernels_ok(v, r, rh, method=method, n_bufs=UPGO_NBUFS):
-        from di_hpc_tpu.pallas_kernels.rl_scans import upgo_advantages_pallas
+        from di_hpc_tpu.pallas_kernels.rl_scans import upgo_loss_pallas
 
         # One kernel pass derives the binary lambdas, the gamma=1 return
-        # recurrence AND the advantage (the generic path materializes the
-        # lambda/a/d planes and scans separately).
-        advantages = upgo_advantages_pallas(rh, r, v)
-    else:
-        returns = upgo_returns(r, v, method=method)
-        advantages = rh * (returns - v[:-1])
+        # recurrence, the advantage AND the loss reduction (r5: the
+        # advantage/metric planes never round-trip HBM and the separate
+        # mean pass disappears — profile_upgo_r5.py measured ~30us of
+        # composition overhead between the head, the adv kernel, and the
+        # mean at T=128, B=512).
+        metric = logp(target_output, action)
+        return upgo_loss_pallas(rh, metric, r, v)
+    returns = upgo_returns(r, v, method=method)
+    advantages = rh * (returns - v[:-1])
     metric = logp(target_output, action)
     return -jnp.mean(advantages * metric)
 

@@ -378,6 +378,83 @@ def _upgo_adv_impl(rhos, reward, value):
     )(rhos, reward, value)
 
 
+def _upgo_loss_kernel(rhos_ref, lp_ref, reward_ref, value_ref, out_ref, *,
+                      T: int, B: int):
+    """_upgo_kernel's advantage + the loss reduction in one pass: out is
+    this block's (1, blk) slice of (1, B) per-lane partial sums of
+    adv * logp (the r5 vtrace_losses scheme; at the bench shape the
+    composed op lost ~30us to the adv/metric plane round-trip and the
+    separate mean pass, profile_upgo_r5.py)."""
+    rhos = rhos_ref[:]
+    lp = lp_ref[:]
+    r = reward_ref[:]
+    v = value_ref[:]                           # (T+1, blk)
+    lam = ((r + v[1:]) >= v[:-1]).astype(r.dtype)
+    d = jnp.concatenate([lam[1:], jnp.zeros_like(lam[-1:])], axis=0)
+    a = r + (1.0 - d) * v[1:]
+    ret = _suffix_scan_full_plane(a, d)
+    prod = rhos * (ret - v[:-1]) * lp
+    blk = prod.shape[1]
+    if B % blk:
+        i = pl.program_id(0)
+        col = i * blk + jax.lax.broadcasted_iota(jnp.int32, prod.shape, 1)
+        prod = jnp.where(col < B, prod, 0.0)
+    out_ref[:] = jnp.sum(prod, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit)
+def _upgo_loss_impl(rhos, lp, reward, value):
+    T, B = reward.shape
+    blk = _pick_blk(T, B, UPGO_NBUFS)
+    kernel = functools.partial(_upgo_loss_kernel, T=T, B=B)
+    tb = lambda i: (0, i)
+    spec = pl.BlockSpec((T, blk), tb, memory_space=pltpu.VMEM)
+    parts = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        grid=(pl.cdiv(B, blk),),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((T + 1, blk), tb, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, blk), tb, memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * T * B * max(1, (T - 1)).bit_length(),
+            bytes_accessed=4 * T * B * 4,
+            transcendentals=0,
+        ),
+        interpret=_ls.INTERPRET,
+    )(rhos, lp, reward, value)
+    return -jnp.sum(parts) / (T * B)
+
+
+@jax.custom_vjp
+def upgo_loss_pallas(rhos, lp, reward, value):
+    """Fully-fused UPGO loss: -mean(rhos * (upgo_returns - V[:-1]) * logp)
+    with the binary-lambda recurrence, the advantage AND the loss reduction
+    in one kernel — the advantage/metric planes never round-trip HBM.
+
+    Gradient contract (matches ops.upgo_loss: advantages detached,
+    origin/upgo.py:64-66): d loss/d lp = -adv/(T*B), recomputed in the
+    backward with the plain advantage kernel; rhos/reward/value get
+    zeros."""
+    return _upgo_loss_impl(rhos, lp, reward, value)
+
+
+def _upgo_loss_fwd(rhos, lp, reward, value):
+    return _upgo_loss_impl(rhos, lp, reward, value), (rhos, reward, value)
+
+
+def _upgo_loss_bwd(res, ct):
+    rhos, reward, value = res
+    T, B = reward.shape
+    adv = _upgo_adv_impl(rhos, reward, value)
+    dlp = (-ct / (T * B)) * adv
+    return (jnp.zeros_like(rhos), dlp, jnp.zeros_like(reward),
+            jnp.zeros_like(value))
+
+
+upgo_loss_pallas.defvjp(_upgo_loss_fwd, _upgo_loss_bwd)
+
+
 # ---------------------------------------------------------------------------
 # V-trace returns + advantage
 # ---------------------------------------------------------------------------

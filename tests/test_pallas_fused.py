@@ -134,6 +134,26 @@ def test_fused_ops_route_through_kernels(interpret, key):
 
 
 @pytest.mark.parametrize("T,B", [(36, 136), (128, 96)])
+def test_upgo_loss_kernel(interpret, key, T, B):
+    """The loss-fused upgo kernel (r5): -mean(adv * lp) straight from
+    partial sums; lp grad matches -adv/(T*B), scan inputs get zeros."""
+    from di_hpc_tpu.pallas_kernels.rl_scans import upgo_loss_pallas
+    ks = jax.random.split(key, 4)
+    value = jax.random.normal(ks[0], (T + 1, B))
+    reward = jax.random.normal(ks[1], (T, B))
+    rhos = jnp.exp(jax.random.normal(ks[2], (T, B)) * 0.3)
+    lp = -jnp.abs(jax.random.normal(ks[3], (T, B)))
+    adv_want = rhos * (origin.upgo_returns(reward, value) - value[:-1])
+    want = -jnp.mean(adv_want * lp)
+    got = upgo_loss_pallas(rhos, lp, reward, value)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4, atol=1e-6)
+    g_lp = jax.grad(lambda l_: upgo_loss_pallas(rhos, l_, reward, value))(lp)
+    np.testing.assert_allclose(g_lp, -adv_want / (T * B), rtol=1e-4, atol=1e-7)
+    g_v = jax.grad(lambda v_: upgo_loss_pallas(rhos, lp, reward, v_))(value)
+    assert float(jnp.abs(g_v).max()) == 0.0
+
+
+@pytest.mark.parametrize("T,B", [(36, 136), (128, 96)])
 def test_vtrace_losses_kernel(interpret, key, T, B):
     """The loss-fused vtrace kernel (r5): pg/value losses straight from
     partial sums, nothing materialized; value grad + detached-returns
