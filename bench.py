@@ -33,8 +33,10 @@ logp_old-precomputed path every multi-epoch PPO loop actually runs,
 examples/ppo_training.py) is PPO's geomean row; the plain `ppo_grad` row is
 kept as evidence (in_geomean=0) — see BASELINE.md "PPO adjudication".
 The `td_point_ops` / `actor_critic_ops` entries are likewise evidence:
-qntd/iqn (and the model helpers) have no kernel case (ops IS jit(origin),
-docs/DESIGN.md §6) so their ~1.0x is the claim being demonstrated.
+at the reference's toy configs these ops are launch-bound and ~1.0x is the
+claim being demonstrated (docs/DESIGN.md §6; at production scale the r5
+hybrid gathers win the qrdqn/iqn BACKWARD 3.5x —
+bench_results/profile_qrdqn_iqn_scale_r5.py).
 `train_step_bf16` is evidence too: it compares the SAME fused train step
 f32 vs bf16 mixed precision (not fused-vs-naive), making the
 mixed-precision margin driver-visible.

@@ -21,7 +21,7 @@ bench_results/profile_qrdqn_iqn_scale_r5.py
 import jax
 import jax.numpy as jnp
 
-from di_hpc_tpu import origin
+from di_hpc_tpu import ops, origin
 from di_hpc_tpu.origin.td import (
     iqn_nstep_td_data, qrdqn_nstep_td_data, _discounted_reward_sum,
 )
@@ -92,12 +92,19 @@ def iqn_iota(data, gamma, nstep=1, kappa=1.0):
     return jnp.mean(loss_per_sample * weight), loss_per_sample
 
 
-def main():
+def main(which="all"):
     TAU, B, N = 64, 4096, 64
     k = jax.random.split(jax.random.PRNGKey(11), 8)
     MB = B * N * TAU * 4 / 1e6
 
     # ---- qrdqn (B, N, tau) ----
+    if which in ("all", "qrdqn"):
+        _qrdqn(TAU, B, N, k, MB)
+    if which in ("all", "iqn"):
+        _iqn(TAU, B, N, k, MB)
+
+
+def _qrdqn(TAU, B, N, k, MB):
     q = jax.random.normal(k[0], (B, N, TAU))
     nq = jax.random.normal(k[1], (B, N, TAU))
     act = jax.random.randint(k[2], (B,), 0, N)
@@ -115,7 +122,8 @@ def main():
     print(f"--- qrdqn tau={TAU} B={B} N={N} ({MB:.0f}MB per q) ---",
           flush=True)
     for nm, fn in (("origin", origin.qrdqn_nstep_td_error),
-                   ("iota", qrdqn_iota)):
+                   ("iota", qrdqn_iota),
+                   ("ops (hybrid gathers)", ops.qrdqn_nstep_td_error)):
         t = bench_fn(lambda a, _f=fn: _f(
             qrdqn_nstep_td_data(a[0], a[1], act, nact, a[2], done, tau_hat,
                                 None), 0.99, 3)[0], (q, nq, rew))
@@ -128,6 +136,12 @@ def main():
                      (q, nq, rew))
         p(f"qrdqn fwd+grad {nm}", t, 3 * MB)
 
+
+def _iqn(TAU, B, N, k, MB):
+    act = jax.random.randint(k[2], (B,), 0, N)
+    nact = jax.random.randint(k[3], (B,), 0, N)
+    rew = jax.random.normal(k[4], (3, B))
+    done = (jax.random.uniform(k[5], (B,)) < 0.1).astype(jnp.float32)
     # ---- iqn (tau, B, N) ----
     qi = jax.random.normal(k[0], (TAU, B, N))
     nqi = jax.random.normal(k[1], (TAU, B, N))
@@ -139,7 +153,8 @@ def main():
 
     print(f"--- iqn tau={TAU} B={B} N={N} ---", flush=True)
     for nm, fn in (("origin", origin.iqn_nstep_td_error),
-                   ("iota", iqn_iota)):
+                   ("iota", iqn_iota),
+                   ("ops (hybrid gathers)", ops.iqn_nstep_td_error)):
         t = bench_fn(lambda a, _f=fn: _f(
             iqn_nstep_td_data(a[0], a[1], act, nact, a[2], done, rq, None),
             0.99, 3)[0], (qi, nqi, rew))
@@ -154,4 +169,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(sys.argv[1] if len(sys.argv) > 1 else "all")

@@ -213,14 +213,96 @@ def dist_nstep_td_error(
     return loss, td_error_per_sample
 
 
+@jax.custom_vjp
+def _gather_taus_axis1(q: jax.Array, action: jax.Array) -> jax.Array:
+    """(B, N, tau) x (B,) -> q[b, action[b], :] (B, tau).
+
+    Forward = take_along_axis: at the production shape (tau=64, B=4096,
+    N=64) the dynamic gather measured FASTER than the iota-compare sum
+    (126.7 vs 274.4 us fwd) — the opposite of the small-B C51 regime
+    (_gather_rows above), so each keeps its measured formulation.
+    Backward = iota-compare one-hot: the gather's scatter TRANSPOSE is what
+    serializes on TPU — swapping it for a fused where() took fwd+grad from
+    862.7 us (28.5% SoL) to 247.1 us (99.5%) at the same shape
+    (bench_results/profile_qrdqn_iqn_scale_r5.py, r5)."""
+    return jnp.take_along_axis(q, action[:, None, None], axis=1)[:, 0]
+
+
+def _gt1_fwd(q, action):
+    # (B, N, 0) token: carries the static N for the backward at zero bytes.
+    return (_gather_taus_axis1(q, action),
+            (action, jnp.zeros(q.shape[:2] + (0,), q.dtype)))
+
+
+def _gt1_bwd(res, ct):
+    action, token = res
+    B, N = token.shape[:2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, N, ct.shape[-1]), 1)
+    dq = jnp.where(col == action[:, None, None].astype(jnp.int32),
+                   ct[:, None, :], 0.0).astype(token.dtype)
+    return dq, None
+
+
+_gather_taus_axis1.defvjp(_gt1_fwd, _gt1_bwd)
+
+
+@jax.custom_vjp
+def _gather_n_axis2(q: jax.Array, action: jax.Array) -> jax.Array:
+    """(tau, B, N) x (B,) -> q[:, b, action[b]] (tau, B) — the IQN layout
+    gather; same forward/backward split as _gather_taus_axis1."""
+    return jnp.take_along_axis(q, action[None, :, None], axis=2)[:, :, 0]
+
+
+def _gn2_fwd(q, action):
+    return (_gather_n_axis2(q, action),
+            (action, jnp.zeros(q.shape[:1] + (0,) + q.shape[2:], q.dtype)))
+
+
+def _gn2_bwd(res, ct):
+    action, token = res
+    tau, _, N = token.shape
+    B = ct.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tau, B, N), 2)
+    dq = jnp.where(col == action[None, :, None].astype(jnp.int32),
+                   ct[:, :, None], 0.0).astype(token.dtype)
+    return dq, None
+
+
+_gather_n_axis2.defvjp(_gn2_fwd, _gn2_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("gamma", "nstep"))
 def qrdqn_nstep_td_error(data: qrdqn_nstep_td_data, gamma: float,
                          nstep: int = 1, value_gamma=None):
+    """Origin math (origin/td.py:269-295, incl. the (B,1,tau)/(B,tau,1)
+    broadcast quirk) with the hybrid gathers (_gather_taus_axis1): the
+    pairwise (B, tau, tau') huber tensor stays a broadcast that fuses into
+    its consuming reductions — it never touches HBM — and the backward
+    avoids the serializing scatter transpose.  Reference kernel:
+    qrdqn_nstep_td_error_kernel.h:11-106."""
     from di_hpc_tpu.ops._validate import check_nstep
     check_nstep("qrdqn_nstep_td_error", data.q, data.next_n_q, data.action,
                 data.next_n_action, data.reward, data.done, data.weight,
                 nstep=nstep, q_ndim=3)
-    return _origin_td.qrdqn_nstep_td_error(data, gamma, nstep, value_gamma)
+    q, next_n_q, action, next_n_action, reward, done, tau, weight = data
+    B = action.shape[0]
+    if weight is None:
+        weight = jnp.ones((B,), q.dtype)
+    q_s_a = _gather_taus_axis1(q, action)[:, :, None]             # (B, tau, 1)
+    target_q_s_a = _gather_taus_axis1(next_n_q, next_n_action)[:, None, :]
+    r = _origin_td._discounted_reward_sum(reward, gamma)[:, None, None]
+    done_f = (1.0 - done.astype(q.dtype))[:, None, None]
+    if value_gamma is None:
+        target_q_s_a = r + (gamma ** nstep) * target_q_s_a * done_f
+    else:
+        target_q_s_a = r + value_gamma[:, None, None] * target_q_s_a * done_f
+    diff = target_q_s_a - q_s_a                                   # (B, tau, tau)
+    u = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff * diff,
+                  jnp.abs(diff) - 0.5)
+    indicator = jax.lax.stop_gradient((diff <= 0.0).astype(q.dtype))
+    loss_per_sample = jnp.mean(
+        jnp.sum(u * jnp.abs(tau - indicator), axis=-1), axis=1)
+    return jnp.mean(loss_per_sample * weight), loss_per_sample
 
 
 @functools.partial(jax.jit, static_argnames=("gamma", "nstep", "kappa"))
@@ -238,8 +320,34 @@ def iqn_nstep_td_error(data: iqn_nstep_td_data, gamma: float, nstep: int = 1,
         _fail("iqn_nstep_td_error",
               f"replay_quantiles must have tau*B = {tau_ * B_} elements "
               f"(reshaped to {(tau_, B_)}); got {data.replay_quantiles.shape}")
-    return _origin_td.iqn_nstep_td_error(data, gamma, nstep, kappa,
-                                         value_gamma)
+    # Origin math (origin/td.py:312-361) with the hybrid gathers
+    # (_gather_n_axis2) — see qrdqn_nstep_td_error's docstring for the
+    # measured fwd/bwd split.  Reference: iqn_nstep_td_error_kernel.h:11-106.
+    q, next_n_q, action, next_n_action, reward, done, replay_quantiles, weight = data
+    tau = tau_
+    tau_prime = next_n_q.shape[0]
+    B = B_
+    if weight is None:
+        weight = jnp.ones((B,), q.dtype)
+    q_s_a = _gather_n_axis2(q, action).T[:, :, None]              # (B, tau, 1)
+    target_q_s_a = _gather_n_axis2(next_n_q, next_n_action).T     # (B, tau')
+    r = _origin_td._discounted_reward_sum(reward, gamma)[:, None]
+    done_f = (1.0 - done.astype(q.dtype))[:, None]
+    if value_gamma is None:
+        target_q_s_a = r + (gamma ** nstep) * target_q_s_a * done_f
+    else:
+        target_q_s_a = r + value_gamma[:, None] * target_q_s_a * done_f
+    bellman_errors = (target_q_s_a[:, :, None, None]
+                      - q_s_a[:, None, :, :])                     # (B,tau',tau,1)
+    abs_err = jnp.abs(bellman_errors)
+    huber = jnp.where(abs_err <= kappa, 0.5 * bellman_errors ** 2,
+                      kappa * (abs_err - 0.5 * kappa))
+    rq = replay_quantiles.reshape(tau, B).T[:, None, :, None]
+    rq = jnp.broadcast_to(rq, (B, tau_prime, tau, 1))
+    indicator = jax.lax.stop_gradient((bellman_errors < 0).astype(q.dtype))
+    quantile_huber = jnp.abs(rq - indicator) * huber / kappa
+    loss_per_sample = jnp.mean(jnp.sum(quantile_huber, axis=2), axis=1)[:, 0]
+    return jnp.mean(loss_per_sample * weight), loss_per_sample
 
 
 # ---------------------------------------------------------------------------

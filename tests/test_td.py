@@ -248,6 +248,51 @@ def test_iqn_matches_numpy(key):
     np.testing.assert_allclose(float(loss), want, rtol=1e-4)
 
 
+def test_qrdqn_iqn_grads_match_origin(key):
+    """The r5 hybrid gathers (take_along_axis fwd + iota-compare custom-VJP
+    bwd) must give exactly the oracle's gradients w.r.t. BOTH q tensors."""
+    B, N, tau, tp, nstep, gamma = 6, 4, 5, 7, 2, 0.95
+    ks = jax.random.split(key, 8)
+    act = jax.random.randint(ks[2], (B,), 0, N)
+    nact = jax.random.randint(ks[3], (B,), 0, N)
+    rew = jax.random.normal(ks[4], (nstep, B))
+    done = (jax.random.uniform(ks[5], (B,)) > 0.5).astype(jnp.float32)
+
+    q = jax.random.normal(ks[0], (B, N, tau))
+    nq = jax.random.normal(ks[1], (B, N, tau))
+    tau_hat = jnp.asarray((np.arange(tau) + 0.5) / tau, jnp.float32)
+
+    def loss_ops(q_, nq_):
+        return ops.qrdqn_nstep_td_error(ops.qrdqn_nstep_td_data(
+            q_, nq_, act, nact, rew, done, tau_hat, None), gamma, nstep)[0]
+
+    def loss_org(q_, nq_):
+        return origin.qrdqn_nstep_td_error(origin.qrdqn_nstep_td_data(
+            q_, nq_, act, nact, rew, done, tau_hat, None), gamma, nstep)[0]
+
+    g_ops = jax.grad(loss_ops, argnums=(0, 1))(q, nq)
+    g_org = jax.grad(loss_org, argnums=(0, 1))(q, nq)
+    for a, b in zip(g_ops, g_org):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    qi = jax.random.normal(ks[0], (tau, B, N))
+    nqi = jax.random.normal(ks[1], (tp, B, N))
+    rq = jax.random.uniform(ks[6], (tau, B))
+
+    def iloss_ops(q_, nq_):
+        return ops.iqn_nstep_td_error(ops.iqn_nstep_td_data(
+            q_, nq_, act, nact, rew, done, rq, None), gamma, nstep)[0]
+
+    def iloss_org(q_, nq_):
+        return origin.iqn_nstep_td_error(origin.iqn_nstep_td_data(
+            q_, nq_, act, nact, rew, done, rq, None), gamma, nstep)[0]
+
+    g_ops = jax.grad(iloss_ops, argnums=(0, 1))(qi, nqi)
+    g_org = jax.grad(iloss_org, argnums=(0, 1))(qi, nqi)
+    for a, b in zip(g_ops, g_org):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_td_wrapper_classes(key):
     """Reference-style module wrappers run and validate shapes."""
     ks = jax.random.split(key, 6)
