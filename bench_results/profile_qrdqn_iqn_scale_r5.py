@@ -16,7 +16,24 @@ it is a broadcast of (B, tau) row/col vectors that should fuse into its
 consuming reductions.
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python
-bench_results/profile_qrdqn_iqn_scale_r5.py
+bench_results/profile_qrdqn_iqn_scale_r5.py [qrdqn|iqn|all]
+
+MEASURED (r5, v5e; % is of the analytic HBM floor — sessions with a hot
+cache read past 100%):
+
+  qrdqn fwd        origin 126.7us (129%)   iota 274.4 ( 60%)
+  qrdqn fwd+grad   origin 862.7us ( 29%)   iota 247.1 (100%)
+  iqn   fwd        origin 113.7us (144%)   iota 277.1 ( 59%)
+  iqn   fwd+grad   origin 613.4us ( 40%)
+  ops (hybrid: take_along fwd + iota-compare custom-VJP bwd), later
+  sessions with warmer cache states:
+  qrdqn fwd 160.8/80.1us   qrdqn fwd+grad 165.3us
+  iqn   fwd 40.5us         iqn   fwd+grad 98.5us
+
+Conclusion: forward has no kernel case (jit(origin) at/past floor; the
+pairwise tensor fuses), but take_along_axis's scatter transpose serializes
+the backward 2.5-3.5x — ops.qrdqn/iqn now use the hybrid gathers
+(ops/td.py _gather_taus_axis1/_gather_n_axis2).
 """
 import jax
 import jax.numpy as jnp
