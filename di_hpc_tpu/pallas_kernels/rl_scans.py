@@ -9,11 +9,21 @@ log-depth over T instead of sequential:
 
   - gae_fused_pallas:      value, reward -> advantage       (gae_kernel.h:10-35)
   - lambda_returns_pallas: value, reward -> lambda-returns  (td_lambda_kernel.h:11-40)
+  - td_lambda_loss_pallas: value, reward -> scalar loss (returns + loss
+                           partial sums in one pass)        (td_lambda_kernel.h:42-79)
   - vtrace_returns_adv_pallas: IS, reward, value (clips folded in-kernel)
                            -> (vs returns, advantages)      (vtrace_kernel.h:153-195)
+  - vtrace_losses_pallas:  IS, logp, reward, value -> (pg_loss, value_loss)
+                           — the returns/advantage planes never touch HBM
+                           (r5; reference spreads this over vtrace_kernel.h's
+                           return + advantage + loss kernels)
+  - upgo_advantages_pallas / upgo_loss_pallas: binary-lambda recurrence
+                           (+ loss reduction, r5)           (upgo_kernel.h:11-38)
 
-All outputs are recurrence targets the consuming losses treat as
-stop-gradient (SURVEY.md §7), so forward-only kernels suffice.
+All recurrence outputs are targets the consuming losses treat as
+stop-gradient (SURVEY.md §7), so forward-only kernels suffice; the
+loss-level kernels carry custom VJPs that recompute the (detached)
+returns/advantages in the backward.
 """
 
 from __future__ import annotations
