@@ -612,12 +612,12 @@ def main():
     sc_loc = jnp.stack([jax.random.randint(ksc[1], (Bs, Ms), 0, Hs),
                         jax.random.randint(ksc[2], (Bs, Ms), 0, Ws)], axis=-1)
 
-    def scatter_train_step(fn):
+    def scatter_train_step(fn, mode="add"):
         def step(carry, a, init=False):
             sc_x_a, sc_loc_a = a
 
             def loss(x_):
-                return jnp.sum(fn(x_, (Hs, Ws), sc_loc_a, "add") ** 2)
+                return jnp.sum(fn(x_, (Hs, Ws), sc_loc_a, mode) ** 2)
 
             x_, = _dep(None if init else carry, sc_x_a)
             v, g = jax.value_and_grad(loss)(x_)
@@ -638,22 +638,11 @@ def main():
     # and tests both modes (scatter_connection_kernel.h:11-89); cover is a
     # different cost shape (winner-select + one-hot einsum vs plain
     # accumulate).  Same fwd+grad traffic floor as add.
-    def scatter_cover_step(fn):
-        def step(carry, a, init=False):
-            sc_x_a, sc_loc_a = a
-
-            def loss(x_):
-                return jnp.sum(fn(x_, (Hs, Ws), sc_loc_a, "cover") ** 2)
-
-            x_, = _dep(None if init else carry, sc_x_a)
-            v, g = jax.value_and_grad(loss)(x_)
-            return v * 1e-12 + jnp.sum(g) * 1e-12 + 1.0
-        return step
-
     run_stage(
         "scatter_cover_grad_B256_M256", "scatter cover+grad B=M=N=256",
-        scatter_cover_step(lambda x, s, l, m: _scat_naive(x, s, l, m)),
-        scatter_cover_step(_scat_fused),
+        scatter_train_step(lambda x, s, l, m: _scat_naive(x, s, l, m),
+                           mode="cover"),
+        scatter_train_step(_scat_fused, mode="cover"),
         est_s=45, K=300, bytes_mb=scat_mb, in_geomean=0,
         args=(sc_x, sc_loc),
     )
@@ -748,6 +737,22 @@ def main():
     optimizer = optax.adam(1e-3)
     opt0 = optimizer.init(params0)
 
+    def _all_leaves_step(carry, a, compute, init=False):
+        """Shared train-step loop body: _dep-tie the batch arrays to the
+        carry, run `compute(params, opt, batch) -> (scalar, new_params)`,
+        and depend on EVERY updated leaf — tying only one (r4 did embed_b)
+        lets XLA dead-code-eliminate the weight-grad GEMMs and the adam
+        update of every other parameter (found r5,
+        profile_mp_decomp_r5.py)."""
+        params_a, tb_a, opt_a = a
+        obs_, rew_, blog_ = _dep(None if init else carry, tb_a.obs,
+                                 tb_a.rewards, tb_a.behaviour_logits)
+        batch = TrainBatch(obs_, tb_a.actions, rew_, blog_)
+        scalar, new_p = compute(params_a, opt_a, batch)
+        psum = sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree.leaves(new_p))
+        return scalar * 1e-12 + psum * 1e-12 + 1.0
+
     def train_step_factory(lstm_impl, vtrace_impl):
         def loss_fn(params, batch):
             x = jnp.einsum("sbo,oh->sbh", batch.obs, params.embed_w) + params.embed_b
@@ -760,22 +765,12 @@ def main():
                 batch.rewards, None))
             return l.policy_loss + 0.5 * l.value_loss - 0.01 * l.entropy_loss
 
-        def step(carry, a, init=False):
-            params_a, tb_a, opt_a = a
-            obs_, rew_, blog_ = _dep(None if init else carry, tb_a.obs,
-                                     tb_a.rewards, tb_a.behaviour_logits)
-            batch = TrainBatch(obs_, tb_a.actions, rew_, blog_)
+        def compute(params_a, opt_a, batch):
             lval, grads = jax.value_and_grad(loss_fn)(params_a, batch)
             upd, _ = optimizer.update(grads, opt_a, params_a)
-            new_p = optax.apply_updates(params_a, upd)
-            # Depend on EVERY updated leaf: tying only one (r4 did embed_b)
-            # lets XLA dead-code-eliminate the weight-grad GEMMs and the
-            # adam update of every other parameter — the r4 step rows
-            # under-measured both sides (found r5, profile_mp_decomp_r5.py).
-            psum = sum(jnp.sum(l.astype(jnp.float32))
-                       for l in jax.tree.leaves(new_p))
-            return lval * 1e-12 + psum * 1e-12 + 1.0
-        return step
+            return lval, optax.apply_updates(params_a, upd)
+
+        return functools.partial(_all_leaves_step, compute=compute)
 
     # MXU compute floor: fwd GEMM flops (embed + per-layer x@Wx and h@Wh +
     # heads), backward ~2x (dx + dW per GEMM), + the bwd-V2 kernel's gh_pre
@@ -838,20 +833,15 @@ def main():
     # native bf16 path, f32 master params/loss/adam).  "naive" = f32 step,
     # "fused" = bf16 step; the ratio is the mixed-precision win README's
     # perf section claims — this row makes it driver-visible. -----
-    def mp_step_factory(dtype):
-        step_fn = make_train_step(cfg, optimizer, compute_dtype=dtype)
+    def mp_step_factory(dtype, step_cfg=None):
+        step_fn = make_train_step(step_cfg or cfg, optimizer,
+                                  compute_dtype=dtype)
 
-        def step(carry, a, init=False):
-            params_a, tb_a, opt_a = a
-            obs_, rew_, blog_ = _dep(None if init else carry, tb_a.obs,
-                                     tb_a.rewards, tb_a.behaviour_logits)
-            batch = TrainBatch(obs_, tb_a.actions, rew_, blog_)
+        def compute(params_a, opt_a, batch):
             p2, _o2, metrics = step_fn(params_a, opt_a, batch)
-            # all-leaves dependence: see train_step_factory's step.
-            psum = sum(jnp.sum(l.astype(jnp.float32))
-                       for l in jax.tree.leaves(p2))
-            return metrics["total_loss"] * 1e-12 + psum * 1e-12 + 1.0
-        return step
+            return metrics["total_loss"], p2
+
+        return functools.partial(_all_leaves_step, compute=compute)
 
     run_stage(
         "train_step_bf16_T32_B256_h512", "train step f32 vs bf16 mixed",
@@ -880,23 +870,9 @@ def main():
     )
     opt_sh = optimizer.init(params_sh)
 
-    def mp_smallh_factory(dtype):
-        step_fn = make_train_step(cfg_sh, optimizer, compute_dtype=dtype)
-
-        def step(carry, a, init=False):
-            params_a, tb_a, opt_a = a
-            obs_, rew_, blog_ = _dep(None if init else carry, tb_a.obs,
-                                     tb_a.rewards, tb_a.behaviour_logits)
-            batch = TrainBatch(obs_, tb_a.actions, rew_, blog_)
-            p2, _o2, metrics = step_fn(params_a, opt_a, batch)
-            psum = sum(jnp.sum(l.astype(jnp.float32))
-                       for l in jax.tree.leaves(p2))
-            return metrics["total_loss"] * 1e-12 + psum * 1e-12 + 1.0
-        return step
-
     run_stage(
         "train_step_bf16_T64_B1024_h128", "train step f32 vs bf16 (H=128)",
-        mp_smallh_factory(None), mp_smallh_factory(jnp.bfloat16),
+        mp_step_factory(None, cfg_sh), mp_step_factory(jnp.bfloat16, cfg_sh),
         est_s=100, K=60, n=3, in_geomean=0,
         args=(params_sh, tb_sh, opt_sh),
     )

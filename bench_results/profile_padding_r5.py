@@ -29,7 +29,11 @@ Findings on the bench host (2-core, ~9GB/s single-thread fill bandwidth):
 
 Run: python bench_results/profile_padding_r5.py
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -33,11 +33,8 @@ extern "C" {
 void pack_padded_f32(const float** srcs, const int64_t* shapes, int64_t n_src,
                      int64_t ndim, const int64_t* max_shape, float value,
                      float* out, float* mask) {
-    // Row-major strides of the padded (per-sample) block.
-    std::vector<int64_t> stride(ndim);
-    int64_t s = 1;
-    for (int64_t d = ndim - 1; d >= 0; --d) { stride[d] = s; s *= max_shape[d]; }
-    const int64_t sample_sz = s;
+    int64_t sample_sz = 1;
+    for (int64_t d = 0; d < ndim; ++d) sample_sz *= max_shape[d];
     const int64_t max_inner = max_shape[ndim - 1];
 
     for (int64_t i = 0; i < n_src; ++i) {

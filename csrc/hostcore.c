@@ -57,12 +57,16 @@ pack_padded(PyObject *self, PyObject *args)
 
     const Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
     const int out_ndim = outbuf.ndim;
+    int shapes_match = out_ndim >= 2 && maskbuf.ndim == out_ndim &&
+                       outbuf.shape != NULL && maskbuf.shape != NULL;
+    for (int d = 0; shapes_match && d < out_ndim; ++d)
+        shapes_match = outbuf.shape[d] == maskbuf.shape[d];
     if (out_ndim < 2 || out_ndim > MAX_NDIM + 1 || !is_f32(&outbuf) ||
-        !is_f32(&maskbuf) || maskbuf.ndim != out_ndim ||
-        maskbuf.len != outbuf.len || outbuf.shape == NULL ||
+        !is_f32(&maskbuf) || !shapes_match || outbuf.shape == NULL ||
         outbuf.shape[0] != n) {
         PyErr_SetString(PyExc_ValueError,
-                        "pack_padded: out/mask must be float32 (n, *max_shape)");
+                        "pack_padded: out/mask must be float32 (n, *max_shape) "
+                        "with identical shapes");
         goto fail_seq;
     }
     const int ndim = out_ndim - 1;            /* per-sample rank */

@@ -127,7 +127,9 @@ def logp_entropy(logits: jax.Array, actions: jax.Array):
     -inf as log_softmax would give — consumers must not rely on -inf
     propagation to detect invalid-action sampling (check the action against
     the mask instead).  Gradients w.r.t. a masked taken action's logit are
-    0, matching the true derivative through the forward's clamp."""
+    0 for logits STRICTLY below -1e9 (the true derivative through the
+    forward's maximum(x, -1e9) clamp; at exactly -1e9 the clamp is the
+    identity and the usual logp gradient applies)."""
     lp, ent, _ = _fwd_math(logits, actions)
     return lp, ent
 
@@ -179,8 +181,8 @@ def logp(logits: jax.Array, actions: jax.Array) -> jax.Array:
 
     Same masked-logit contract as logp_entropy: logits <= -1e9 (incl. -inf)
     have probability exactly 0, but a masked TAKEN action's logp comes back
-    finite (~-1e9 - lse), not -inf; gradients w.r.t. a masked taken logit
-    are 0."""
+    finite (~-1e9 - lse), not -inf; gradients w.r.t. a taken logit strictly
+    below -1e9 are 0."""
     return _lp_math(logits, actions)[0]
 
 

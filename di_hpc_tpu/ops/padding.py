@@ -45,40 +45,23 @@ _CTYPES_PACK_MIN_ELEMS = 25_600
 def _pad_nd_fast(x, value, ndim):
     """Padded-batch assembly with the native ragged-pack data plane for
     float32 inputs; falls back to the Python/numpy oracle when no native
-    path applies (non-f32/non-contiguous input, toolchain absent).
-
-    Preferred path: the CPython extension's single-touch pack (csrc/
-    hostcore.c), tried directly on the raw inputs with zero Python-side
-    per-array checks — the extension itself rejects anything that is not a
-    contiguous float32 buffer of the right rank, and the exception routes
-    us to the fallback, so correctness never depends on the fast path
-    accepting an input (non-f32 inputs keep their oracle dtype semantics).
-    """
+    path applies (non-f32/non-contiguous input, toolchain absent — the
+    native layer rejects those itself and returns None, so non-f32 inputs
+    keep their oracle dtype semantics)."""
     import jax.numpy as jnp
 
-    ext = get_native_ext()
-    if ext is not None:
-        try:
-            shapes = [tuple(t.shape) for t in x]
-            if x and all(len(s) == ndim for s in shapes):
-                max_shape = [max(d) for d in zip(*shapes)]
-                out = np.empty((len(x), *max_shape), dtype=np.float32)
-                mask = np.empty((len(x), *max_shape), dtype=np.float32)
-                ext.pack_padded(x, out, mask, float(value))
+    try:
+        shapes = [tuple(t.shape) for t in x]
+    except AttributeError:
+        return _origin._pad_nd(x, value, ndim)
+    if x and all(len(s) == ndim for s in shapes):
+        ext = get_native_ext()
+        if ext is not None or sum(cum(s) for s in shapes) >= _CTYPES_PACK_MIN_ELEMS:
+            max_shape = [max(d) for d in zip(*shapes)]
+            res = native_pack_padded_f32(x, max_shape, value)
+            if res is not None:
+                out, mask = res
                 return jnp.asarray(out), jnp.asarray(mask), shapes
-        except (AttributeError, ValueError, TypeError, BufferError):
-            pass
-
-    shapes = [tuple(t.shape) for t in x]
-    if (ext is None
-            and all(len(s) == ndim for s in shapes)
-            and sum(cum(s) for s in shapes) >= _CTYPES_PACK_MIN_ELEMS
-            and all(np.asarray(t).dtype == np.float32 for t in x)):
-        max_shape = [max(d) for d in zip(*shapes)]
-        res = native_pack_padded_f32([np.asarray(t) for t in x], max_shape, value)
-        if res is not None:
-            out, mask = res
-            return jnp.asarray(out), jnp.asarray(mask), shapes
     return _origin._pad_nd(x, value, ndim)
 
 __all__ = [

@@ -126,13 +126,15 @@ def get_native_ext():
 
 
 def native_pack_padded_f32(srcs, max_shape, value: float = 0.0):
-    """Native ragged pack of a list of float32 numpy arrays (same ndim) into
-    a padded batch + mask; returns (out, mask) numpy arrays or None when no
-    native path is available or inputs do not qualify.
+    """Native ragged pack of a list of float32 arrays (same ndim) into a
+    padded batch + mask; returns (out, mask) float32 numpy arrays or None
+    when no native path applies (callers then use the numpy oracle, which
+    preserves non-f32 dtypes — this function must never silently convert).
 
-    Prefers the zero-marshalling CPython extension (csrc/hostcore.c); falls
-    back to the ctypes binding of csrc/bucketing.cpp, then to None (callers
-    use the numpy oracle)."""
+    Prefers the zero-marshalling CPython extension (csrc/hostcore.c), which
+    rejects non-f32/non-contiguous buffers itself; the ctypes fallback
+    (csrc/bucketing.cpp) gets an explicit f32 dtype gate for the same
+    reason."""
     import numpy as np
 
     ext = get_native_ext()
@@ -144,12 +146,14 @@ def native_pack_padded_f32(srcs, max_shape, value: float = 0.0):
         try:
             ext.pack_padded(srcs, out, mask, float(value))
             return out, mask
-        except (ValueError, TypeError, BufferError):
-            pass  # non-f32 / non-contiguous input: fall through
+        except (AttributeError, ValueError, TypeError, BufferError):
+            return None  # non-f32 / non-contiguous input: oracle's job
 
     lib = get_native_lib()
     if lib is None or not srcs:
         return None
+    if any(np.asarray(a).dtype != np.float32 for a in srcs):
+        return None  # ascontiguousarray below would silently convert
     ndim = srcs[0].ndim
     arrs = []
     for a in srcs:
